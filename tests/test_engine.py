@@ -1,0 +1,142 @@
+"""End-to-end engine tests: segmentation, overlap-add, streaming state,
+shift trick, and the CLI contract — on synthetic weights with short
+segments so CPU runs stay fast (real-weight SDR parity is the e2e
+script's job, mirroring test/e2e_test.sh)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig
+from umx_tpu.engine.separator import Separator, _transition_weight
+from umx_tpu.models.umx import synthetic_params
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(
+        model=ModelConfig(hidden_size=64),
+        segment=SegmentConfig(segment_secs=1.0),
+        shifts=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def sep(cfg):
+    return Separator(synthetic_params(cfg.model, seed=0), cfg)
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(31)
+    sr = 44100
+    t = np.arange(int(2.5 * sr)) / sr
+    left = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(t.shape)
+    right = 0.4 * np.sin(2 * np.pi * 330 * t) + 0.05 * rng.standard_normal(t.shape)
+    return np.stack([left, right]).astype(np.float32)
+
+
+def test_transition_weight_matches_reference_formula():
+    # w(i) = min(i+1, seg-i), normalized to max 1 (umx.cpp:196-206)
+    seg = 1000
+    w = np.asarray(_transition_weight(seg, 1.0))
+    expected = np.minimum(np.arange(1, seg + 1), seg - np.arange(seg)).astype(np.float32)
+    expected /= expected.max()
+    np.testing.assert_allclose(w, expected, atol=1e-6)
+
+
+def test_demix_shapes_and_finite(sep, audio):
+    out = np.asarray(sep.demix(audio))
+    assert out.shape == (4, 2, audio.shape[1])
+    assert np.isfinite(out).all()
+
+
+def test_demix_deterministic(sep, audio):
+    a = np.asarray(sep.demix(audio))
+    b = np.asarray(sep.demix(audio))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_short_track_single_segment(sep):
+    # shorter than one segment: must still work (zero-padded internally)
+    rng = np.random.default_rng(32)
+    short = rng.uniform(-0.5, 0.5, (2, 10_000)).astype(np.float32)
+    out = np.asarray(sep.demix(short))
+    assert out.shape == (4, 2, 10_000)
+    assert np.isfinite(out).all()
+
+
+def test_streaming_vs_reset_differ(cfg, audio):
+    params = synthetic_params(cfg.model, seed=0)
+    s_stream = Separator(params, cfg)
+    s_reset = Separator(
+        params, dataclasses.replace(cfg, segment=dataclasses.replace(cfg.segment, streaming=False))
+    )
+    a = np.asarray(s_stream.demix(audio))
+    b = np.asarray(s_reset.demix(audio))
+    # with streaming, segment 2+ sees carried LSTM state -> different output
+    assert not np.allclose(a, b)
+    # but the first segment's start is identical (state starts at zero)
+    np.testing.assert_allclose(a[..., :1000], b[..., :1000], atol=1e-5)
+
+
+def test_no_wiener_path(cfg, audio):
+    params = synthetic_params(cfg.model, seed=0)
+    s = Separator(params, dataclasses.replace(cfg, use_wiener=False))
+    out = np.asarray(s.demix(audio[:, :44100]))
+    assert out.shape == (4, 2, 44100)
+    assert np.isfinite(out).all()
+
+
+def test_shift_trick_preserves_length_and_content(cfg, audio):
+    params = synthetic_params(cfg.model, seed=0)
+    s = Separator(params, dataclasses.replace(cfg, shifts=1))
+    out = s.demix_track(audio, seed=7)
+    assert out.shape == (4, 2, audio.shape[1])
+    assert np.isfinite(out).all()
+    # same seed -> identical result (seedable PRNG vs reference's
+    # unseeded rand(), umx.cpp:115)
+    out2 = s.demix_track(audio, seed=7)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_overlap_add_unity_for_constant_network(cfg):
+    """Feed a 'network' whose output the engine overlap-adds: with
+    identical chunk outputs, the triangular weights must cancel exactly
+    (sum w * y / sum w == y).  We approximate by demixing a constant-zero
+    track: every stage is linear-ish at 0 and outputs must be tiny."""
+    params = synthetic_params(cfg.model, seed=0)
+    s = Separator(params, cfg)
+    silent = np.zeros((2, 60_000), np.float32)
+    out = np.asarray(s.demix(silent))
+    # masks * |stft(0)| = 0 magnitudes -> zero reconstruction
+    assert np.abs(out).max() < 1e-4
+
+
+def test_cli_end_to_end(tmp_path, cfg, audio):
+    from scipy.io import wavfile
+
+    from umx_tpu import cli
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+
+    model_path = str(tmp_path / "model.bin.gz")
+    write_ggml(model_path, cfg.model.hidden_size, synthetic_state_dicts(cfg.model, seed=0))
+
+    wav_path = str(tmp_path / "mix.wav")
+    wavfile.write(wav_path, 44100, np.ascontiguousarray(audio[:, :44100].T))
+
+    out_dir = str(tmp_path / "out")
+    rc = cli.main(
+        [model_path, wav_path, out_dir, "--quiet", "--segment-secs", "1.0", "--shifts", "0"]
+    )
+    assert rc == 0
+    for i in range(4):
+        path = os.path.join(out_dir, f"target_{i}.wav")
+        assert os.path.exists(path)
+        rate, data = wavfile.read(path)
+        assert rate == 44100
+        assert data.shape == (44100, 2)
+        assert np.isfinite(data).all()

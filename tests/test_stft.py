@@ -1,0 +1,171 @@
+"""STFT/iSTFT tests: round-trip at 1e-4 (mirrors test/test_dsp.cpp:41-114)
+and exact parity against torch.stft/istft (the golden transform used by
+openunmix, automating scripts/compare-torch-stft.py)."""
+
+import numpy as np
+import pytest
+
+from umx_tpu.config import DSPConfig
+from umx_tpu.ops import stft as stft_ops
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_stft(x: np.ndarray, cfg: DSPConfig) -> np.ndarray:
+    win = torch.hann_window(cfg.n_fft, periodic=True)
+    spec = torch.stft(
+        torch.from_numpy(x),
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    return spec.numpy().swapaxes(-1, -2)  # torch gives (..., bins, T)
+
+
+def _torch_istft(spec: np.ndarray, n: int, cfg: DSPConfig) -> np.ndarray:
+    win = torch.hann_window(cfg.n_fft, periodic=True)
+    return (
+        torch.istft(
+            torch.from_numpy(spec.swapaxes(-1, -2).copy()),
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop,
+            window=win,
+            center=True,
+            length=n,
+        )
+        .numpy()
+    )
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DSPConfig()
+
+
+def test_hann_window_matches_torch(cfg):
+    ours = np.asarray(stft_ops.hann_window(cfg.n_fft))
+    theirs = torch.hann_window(cfg.n_fft, periodic=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_frame_count(cfg):
+    # nb_frames = n // hop + 1 (dsp.hpp:46, torch center=True convention)
+    n = 44100
+    x = np.random.default_rng(0).standard_normal((2, n)).astype(np.float32)
+    spec = np.asarray(stft_ops.stft(x, cfg))
+    assert spec.shape == (2, n // cfg.hop + 1, cfg.n_bins)
+
+
+def test_stft_matches_torch(cfg):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3 * cfg.hop * 16)).astype(np.float32)
+    ours = np.asarray(stft_ops.stft(x, cfg))
+    theirs = _torch_stft(x, cfg)
+    assert ours.shape == theirs.shape
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4 * scale, rtol=0)
+
+
+def test_stft_matches_torch_square_wave(cfg):
+    # synthetic square wave, the compare-torch-stft.py probe signal
+    n = 4096 * 8
+    t = np.arange(n) / cfg.sample_rate
+    x = np.sign(np.sin(2 * np.pi * 441.0 * t)).astype(np.float32)[None]
+    ours = np.asarray(stft_ops.stft(x, cfg))
+    theirs = _torch_stft(x, cfg)
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4 * scale, rtol=0)
+
+
+def test_round_trip_noise(cfg):
+    # mirrors test_dsp.cpp round-trip tolerance of 1e-4
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (2, cfg.hop * 200)).astype(np.float32)
+    spec = stft_ops.stft(x, cfg)
+    x2 = np.asarray(stft_ops.istft(spec, x.shape[-1], cfg))
+    np.testing.assert_allclose(x2, x, atol=1e-4)
+
+
+def test_round_trip_non_multiple_length(cfg):
+    rng = np.random.default_rng(3)
+    n = cfg.hop * 50 + 123
+    x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+    spec = stft_ops.stft(x, cfg)
+    x2 = np.asarray(stft_ops.istft(spec, n, cfg))
+    np.testing.assert_allclose(x2, x, atol=1e-4)
+
+
+def test_istft_matches_torch(cfg):
+    rng = np.random.default_rng(4)
+    n = cfg.hop * 64
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    spec = _torch_stft(x, cfg)
+    ours = np.asarray(stft_ops.istft(spec, n, cfg))
+    theirs = _torch_istft(spec, n, cfg)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_magnitude_phase_reconstruction(cfg):
+    # magnitude/phase decomposition → polar_to_complex → istft round trip
+    # (mirrors test_dsp.cpp:118-273)
+    rng = np.random.default_rng(5)
+    n = cfg.hop * 40
+    x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+    spec = stft_ops.stft(x, cfg)
+    mag = np.abs(spec)
+    recon = stft_ops.polar_to_complex(mag, spec)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(spec), atol=1e-5)
+    x2 = np.asarray(stft_ops.istft(recon, n, cfg))
+    np.testing.assert_allclose(x2, x, atol=1e-4)
+
+
+def test_matmul_dft_matches_xla_fft(cfg):
+    # the MXU matmul DFT (used on TPU, where XLA FFT is unavailable) must
+    # agree with jnp.fft to fp32 FFT accuracy
+    from umx_tpu.ops import fft as mxu_fft
+
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((5, cfg.n_fft)).astype(np.float32)
+    re, im = mxu_fft.rdft(frames, cfg.n_fft)
+    ref = np.fft.rfft(frames, axis=-1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-5 * scale)
+
+    back = np.asarray(mxu_fft.irdft(re, im, cfg.n_fft))
+    np.testing.assert_allclose(back, frames, atol=1e-4)
+
+
+def test_stft_impls_agree(cfg):
+    import dataclasses
+
+    from umx_tpu.ops import stft as so
+
+    rng = np.random.default_rng(8)
+    n = cfg.hop * 32
+    x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+    cfg_mm = dataclasses.replace(cfg, fft_impl="matmul")
+    cfg_xla = dataclasses.replace(cfg, fft_impl="xla")
+    s_mm = np.asarray(so.stft(x, cfg_mm))
+    s_xla = np.asarray(so.stft(x, cfg_xla))
+    scale = np.abs(s_xla).max()
+    np.testing.assert_allclose(s_mm, s_xla, atol=2e-5 * scale)
+    x_mm = np.asarray(so.istft(so.stft(x, cfg_mm), n, cfg_mm))
+    np.testing.assert_allclose(x_mm, x, atol=1e-4)
+
+
+def test_overlap_add_inverts_framing(cfg):
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, cfg.n_fft + cfg.hop * 7)).astype(np.float32)
+    frames = stft_ops.frame_signal(x, cfg.n_fft, cfg.hop)
+    assert frames.shape == (3, 8, cfg.n_fft)
+    # each frame must be the exact strided slice
+    for t in range(8):
+        np.testing.assert_array_equal(
+            np.asarray(frames)[:, t], x[:, t * cfg.hop : t * cfg.hop + cfg.n_fft]
+        )

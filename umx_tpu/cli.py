@@ -1,0 +1,99 @@
+"""Command-line demixer, matching the reference CLI contract
+(umx.cpp:26-96): ``umx-tpu <model file> <wav file> <out dir>`` writes
+``target_0.wav`` … ``target_3.wav`` (bass, drums, other, vocals).
+
+Extends the reference's 3 positional args with a proper flag layer for
+the knobs the reference hardcodes (SURVEY §5 config inventory).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="umx-tpu",
+        description="TPU-native Open-Unmix 4-stem music demixer",
+    )
+    p.add_argument("model_file", help="ggml model file (.bin or .bin.gz)")
+    p.add_argument("wav_file", help="input 44.1 kHz WAV (mono or stereo)")
+    p.add_argument("out_dir", help="output directory for target_{0..3}.wav")
+    p.add_argument("--no-wiener", action="store_true", help="skip the Wiener-EM post-filter")
+    p.add_argument("--wiener-iters", type=int, default=1, help="Wiener EM iterations")
+    p.add_argument("--no-streaming", action="store_true", help="reset LSTM state per segment")
+    p.add_argument("--shifts", type=int, default=1, help="Demucs shift trick count (0 or 1)")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed for the shift trick")
+    p.add_argument("--segment-secs", type=float, default=60.0, help="segment length (s)")
+    p.add_argument("--overlap", type=float, default=0.25, help="segment overlap fraction")
+    p.add_argument(
+        "--compute-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="network matmul precision (bfloat16 is faster; validate SDR)",
+    )
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    def log(*a):
+        if not args.quiet:
+            print(*a, flush=True)
+
+    from umx_tpu.config import EngineConfig, SegmentConfig
+    from umx_tpu.engine.separator import Separator
+    from umx_tpu.io.audio import load_audio, write_audio
+
+    cfg = EngineConfig(
+        segment=SegmentConfig(
+            segment_secs=args.segment_secs,
+            overlap=args.overlap,
+            streaming=not args.no_streaming,
+        ),
+        use_wiener=not args.no_wiener,
+        shifts=args.shifts,
+        compute_dtype=args.compute_dtype,
+    )
+    if args.wiener_iters != 1:
+        cfg = dataclasses.replace(
+            cfg, wiener=dataclasses.replace(cfg.wiener, iterations=args.wiener_iters)
+        )
+
+    t0 = time.perf_counter()
+    audio = load_audio(args.wav_file, cfg.dsp.sample_rate)
+    log(f"Loaded {args.wav_file}: {audio.shape[1]} samples "
+        f"({audio.shape[1] / cfg.dsp.sample_rate:.1f} s)")
+
+    t1 = time.perf_counter()
+    sep = Separator.from_ggml(args.model_file, cfg)
+    log(f"Loaded model {args.model_file} (hidden_size="
+        f"{sep.cfg.model.hidden_size}) in {time.perf_counter() - t1:.2f} s")
+
+    t2 = time.perf_counter()
+    stems = sep.demix_track(
+        audio,
+        seed=args.seed,
+        progress=None if args.quiet else (lambda f: log(f"  demix {f * 100:.0f}%")),
+    )
+    dt = time.perf_counter() - t2
+    secs = audio.shape[1] / cfg.dsp.sample_rate
+    log(f"Demixed in {dt:.2f} s ({secs / dt:.1f}x realtime)")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(stems.shape[0]):
+        path = os.path.join(args.out_dir, f"target_{i}.wav")
+        write_audio(path, stems[i], cfg.dsp.sample_rate)
+        log(f"Wrote {path}")
+    log(f"Total {time.perf_counter() - t0:.2f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Configuration layer for umx-tpu.
+
+The reference keeps all of these as compile-time C++ constants scattered
+across headers (dsp.hpp:16-19, inference.hpp:13-16, wiener.hpp:12-17,
+model.cpp:109-114).  Here they are one typed, frozen config tree that is
+hashable, so configs can be passed as static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class DSPConfig:
+    """STFT/iSTFT constants (reference: dsp.hpp:16-19).
+
+    The transform is the torch.stft convention: centered, reflect-padded,
+    periodic Hann window, one-sided, unscaled forward / 1/N inverse with
+    librosa window-sumsquare normalization.
+    """
+
+    sample_rate: int = 44100
+    n_fft: int = 4096
+    hop: int = 1024
+    # FFT backend: "xla" uses jnp.fft (fast on CPU); "matmul" runs the
+    # transform as MXU matmuls against constant DFT matrices (required on
+    # TPU backends without an FFT op, and MXU-friendly regardless);
+    # "auto" picks matmul on TPU, xla elsewhere.
+    fft_impl: Literal["auto", "xla", "matmul"] = "auto"
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1  # 2049
+
+    @property
+    def pad(self) -> int:
+        return self.n_fft // 2  # 2048
+
+    def n_frames(self, n_samples: int) -> int:
+        """Frame count of a centered STFT over ``n_samples`` (dsp.hpp:46)."""
+        return n_samples // self.hop + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """UMX mask-network architecture constants (reference: model.cpp:109-186,
+    inference.cpp:39-55)."""
+
+    hidden_size: int = 1024  # UMX-L; UMX-HQ uses 512
+    n_targets: int = 4  # bass, drums, other, vocals
+    n_lstm_layers: int = 3
+    # Bandwidth crop: bins kept per channel (16 kHz at 44.1kHz/4096-pt fft).
+    nb_bins_cropped: int = 1487
+    n_bins: int = 2049
+    bn_eps: float = 1e-5
+    # Input/output normalization convention:
+    #  - "openunmix": x = (x + mean) * scale   (upstream open-unmix-pytorch)
+    #  - "umxcpp":    x = x * scale + mean     (reference inference.cpp:73-83)
+    # The two differ; the reference deviates from upstream. Default follows
+    # upstream since the quality north-star is parity with PyTorch UMX-L.
+    input_scaling: Literal["openunmix", "umxcpp"] = "openunmix"
+
+    @property
+    def lstm_hidden(self) -> int:
+        return self.hidden_size // 2
+
+    @property
+    def n_features(self) -> int:
+        return 2 * self.nb_bins_cropped  # 2974 stacked-stereo input features
+
+    @property
+    def n_outputs(self) -> int:
+        return 2 * self.n_bins  # 4098 stacked-stereo mask outputs
+
+
+@dataclasses.dataclass(frozen=True)
+class WienerConfig:
+    """Multichannel Wiener-EM post-filter constants (reference: wiener.hpp:12-17)."""
+
+    iterations: int = 1
+    eps: float = 1e-10
+    scale_factor: float = 10.0
+    # The reference computes the source PSD as ((re+im))^2 instead of
+    # |y|^2 = re^2+im^2 (wiener.cpp:185-204).  "correct" implements the
+    # mathematically standard openunmix |y|^2; "umxcpp" reproduces the quirk.
+    psd: Literal["correct", "umxcpp"] = "correct"
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentConfig:
+    """Demucs-style overlapping-segment inference constants
+    (reference: inference.hpp:13-16)."""
+
+    segment_secs: float = 60.0
+    overlap: float = 0.25
+    max_shift_secs: float = 0.5
+    transition_power: float = 1.0
+    # Whether LSTM h/c state carries across segments (the reference's
+    # "streaming LSTM", umx.cpp:167-171 / lstm.cpp:82).
+    streaming: bool = True
+
+    def segment_samples(self, sample_rate: int) -> int:
+        return int(self.segment_secs * sample_rate)
+
+    def stride_samples(self, sample_rate: int) -> int:
+        return int((1.0 - self.overlap) * self.segment_samples(sample_rate))
+
+    def max_shift_samples(self, sample_rate: int) -> int:
+        return int(self.max_shift_secs * sample_rate)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level inference-engine configuration."""
+
+    dsp: DSPConfig = DSPConfig()
+    model: ModelConfig = ModelConfig()
+    wiener: WienerConfig = WienerConfig()
+    segment: SegmentConfig = SegmentConfig()
+    # Apply the Wiener-EM post-filter (reference always does when built with
+    # it; the original release ran without it, README.md:38-44).
+    use_wiener: bool = True
+    # Number of random shifts for the Demucs time-equivariance trick
+    # (reference supports exactly shifts=1, umx.cpp:99-150; 0 disables).
+    shifts: int = 1
+    # Compute dtype for the network matmuls. float32 preserves SDR parity;
+    # bfloat16 doubles MXU throughput (validate SDR before enabling).
+    compute_dtype: str = "float32"
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+UMXL = EngineConfig()
+UMXHQ = EngineConfig(model=ModelConfig(hidden_size=512))
+
+TARGETS = ("bass", "drums", "other", "vocals")
+# Output file digit convention (reference scripts/umx_pytorch_inference.py:12-17)
+TARGET_FILE_INDEX = {"bass": 0, "drums": 1, "other": 2, "vocals": 3}

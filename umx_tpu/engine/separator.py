@@ -1,0 +1,206 @@
+"""The demixing engine: jitted per-segment pipeline + track orchestration.
+
+Equivalent of the reference's inference.cpp (per-segment forward) and
+umx.cpp's split/shift orchestrators, re-designed TPU-first:
+
+* One jitted function runs STFT → mask network (targets vmapped) →
+  optional Wiener-EM → iSTFT for a fixed-size segment, so the whole hot
+  path compiles once and a track's tensors stay in HBM end to end.
+* Segments are always full-length: the final partial chunk is
+  zero-padded instead of reusing stale full-segment buffers (the
+  reference's benign-by-luck resize, SURVEY §2f) — fixed shapes keep XLA
+  happy and the triangular overlap-add weights are unchanged over the
+  valid region.
+* Streaming LSTM state is an explicit carry threaded between segment
+  calls (reference: persistent lstm_data arenas, umx.cpp:167-171).
+* The Demucs shift trick uses a seedable jax PRNG instead of unseeded
+  libc rand() (umx.cpp:112-122).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umx_tpu.config import EngineConfig
+from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
+from umx_tpu.ops import stft as stft_ops
+from umx_tpu.ops.wiener import wiener_filter
+
+Array = jax.Array
+
+
+def crop_stack(mag: Array, nb_bins_cropped: int) -> Array:
+    """(2, T, F) magnitudes → (T, 2*crop) stacked-stereo network input
+    (inference.cpp:41-68: left bins then right bins)."""
+    cropped = mag[:, :, :nb_bins_cropped]  # (2, T, crop)
+    return jnp.concatenate([cropped[0], cropped[1]], axis=-1)
+
+
+def apply_masks(masks: Array, mag: Array, n_bins: int) -> Array:
+    """masks (T#, T, 2*n_bins) ⊙ mix magnitude (2, T, n_bins) →
+    per-target magnitudes (T#, 2, T, n_bins) (inference.cpp:168-185)."""
+    m = masks.reshape(masks.shape[0], masks.shape[1], 2, n_bins)  # (T#, T, 2, F)
+    m = jnp.transpose(m, (0, 2, 1, 3))  # (T#, 2, T, F)
+    return m * mag[None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def segment_forward(
+    params: UMXParams,
+    audio: Array,
+    state: LSTMState,
+    cfg: EngineConfig,
+    n_samples: int,
+) -> tuple[Array, LSTMState]:
+    """Demix one fixed-size segment.
+
+    audio: (2, n_samples) → (waveforms (T#, 2, n_samples), new LSTM state).
+    The full reference per-segment pipeline (inference.cpp:12-207) in one
+    XLA program.
+    """
+    mcfg, dcfg = cfg.model, cfg.dsp
+    spec = stft_ops.stft(audio, dcfg)  # (2, T, F) complex
+    mag = jnp.abs(spec)
+
+    x = crop_stack(mag, mcfg.nb_bins_cropped).astype(cfg.compute_dtype)
+    masks, new_state = umx_forward(params, x, state, mcfg)
+    masks = masks.astype(jnp.float32)
+
+    target_mags = apply_masks(masks, mag, mcfg.n_bins)  # (T#, 2, T, F)
+
+    if cfg.use_wiener:
+        target_specs = wiener_filter(spec, target_mags, cfg.wiener)
+    else:
+        # naive mix-phase reconstruction (the reference's original
+        # no-wiener release, README.md:38-44)
+        target_specs = stft_ops.polar_to_complex(target_mags, spec[None])
+
+    waves = stft_ops.istft(target_specs, n_samples, dcfg)  # (T#, 2, n)
+    return waves, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("segment_samples", "power"))
+def _transition_weight(segment_samples: int, power: float) -> Array:
+    """Demucs triangular cross-fade weight (umx.cpp:196-206)."""
+    half = segment_samples // 2
+    up = jnp.arange(1, half + 1, dtype=jnp.float32)
+    w = jnp.concatenate([up, up[::-1]])
+    if segment_samples % 2:  # odd length: plateau at the max (matches ref for even)
+        w = jnp.concatenate([up, up[-1:], up[::-1]])
+    w = w / w.max()
+    return w**power
+
+
+@jax.jit
+def _finalize(out, sum_weight):
+    return out / sum_weight
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _chunk_at(audio_p, offset, seg: int):
+    return jax.lax.dynamic_slice(audio_p, (0, offset), (2, seg))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _accumulate(out, sum_weight, chunk_out, weight, offset):
+    """Weighted overlap-add of one full chunk at a dynamic offset
+    (umx.cpp:234-259).  The output buffers are sized for the zero-padded
+    track, so every chunk is full-length; samples past the real track end
+    are trimmed by the caller."""
+    seg = chunk_out.shape[-1]
+    upd = jax.lax.dynamic_slice(out, (0, 0, offset), (*out.shape[:2], seg))
+    out = jax.lax.dynamic_update_slice(out, upd + weight * chunk_out, (0, 0, offset))
+    sw = jax.lax.dynamic_slice(sum_weight, (offset,), (seg,)) + weight
+    sum_weight = jax.lax.dynamic_update_slice(sum_weight, sw, (offset,))
+    return out, sum_weight
+
+
+class Separator:
+    """High-level demixer: load params once, demix tracks of any length."""
+
+    def __init__(self, params: UMXParams, cfg: EngineConfig = EngineConfig()):
+        self.params = params
+        self.cfg = cfg
+
+    @classmethod
+    def from_ggml(cls, path: str, cfg: EngineConfig | None = None) -> "Separator":
+        from umx_tpu.io.ggml import read_ggml
+        from umx_tpu.models.umx import params_from_ggml
+
+        model = read_ggml(path)
+        if cfg is None:
+            cfg = EngineConfig()
+        if cfg.model.hidden_size != model.hidden_size:
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, hidden_size=model.hidden_size)
+            )
+        return cls(params_from_ggml(model, cfg.model), cfg)
+
+    # -- split_inference (umx.cpp:152-295) --------------------------------
+
+    def demix(self, audio, progress=None) -> Array:
+        """Demucs-style overlapping-segment demix of a full track.
+
+        audio: (2, length) → (n_targets, 2, length), all accumulation
+        on-device.
+        """
+        cfg = self.cfg
+        sr = cfg.dsp.sample_rate
+        seg = cfg.segment.segment_samples(sr)
+        stride = cfg.segment.stride_samples(sr)
+        audio = np.asarray(audio, np.float32)
+        length = audio.shape[1]
+
+        state = init_lstm_state(cfg.model)
+        weight = _transition_weight(seg, cfg.segment.transition_power)
+
+        # pad on host so every chunk is one full segment (fixed shapes ->
+        # one XLA program for all chunks of all tracks)
+        n_chunks = max(1, math.ceil(length / stride))
+        padded_len = (n_chunks - 1) * stride + seg
+        audio_p = jax.device_put(
+            np.pad(audio, ((0, 0), (0, padded_len - length)))
+        )
+
+        out = jnp.zeros((cfg.model.n_targets, 2, padded_len), jnp.float32)
+        sum_weight = jnp.zeros((padded_len,), jnp.float32)
+
+        for i in range(n_chunks):
+            offset = jnp.int32(i * stride)
+            chunk = _chunk_at(audio_p, offset, seg)
+            chunk_out, new_state = segment_forward(self.params, chunk, state, cfg, seg)
+            if cfg.segment.streaming:
+                state = new_state
+            out, sum_weight = _accumulate(out, sum_weight, chunk_out, weight, offset)
+            if progress is not None:
+                progress((i + 1) / n_chunks)
+
+        return _finalize(out, sum_weight)[..., :length]
+
+    # -- shift_inference (umx.cpp:99-150) ----------------------------------
+
+    def demix_track(self, audio, seed: int = 0, progress=None) -> np.ndarray:
+        """Full track demix with the Demucs random-shift trick.
+
+        Matches the reference contract: shifts ∈ {0, 1}; the input is
+        front-padded by a random offset in [0, 0.5 s) and the output
+        trimmed back (umx.cpp:99-150), which makes the segmentation grid
+        time-equivariant.
+        """
+        cfg = self.cfg
+        audio = np.asarray(audio, np.float32)
+        length = audio.shape[1]
+        if cfg.shifts <= 0:
+            return np.asarray(self.demix(audio, progress=progress))
+
+        max_shift = cfg.segment.max_shift_samples(cfg.dsp.sample_rate)
+        offset = int(np.random.default_rng(seed).integers(0, max_shift))
+        shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
+        out = self.demix(shifted, progress=progress)
+        return np.asarray(out)[..., offset : offset + length]

@@ -1,0 +1,322 @@
+"""Open-Unmix mask-prediction network, TPU-native.
+
+Architecture (reference: src/inference.cpp:70-186, src/model.cpp:136-186;
+upstream open-unmix-pytorch OpenUnmix module): per target,
+
+    crop+stack stereo magnitudes -> input norm -> fc1 -> bn1 -> tanh
+    -> 3-layer bidirectional LSTM -> skip-concat [x, lstm] -> fc2 -> bn2
+    -> ReLU -> fc3 -> bn3 -> output norm -> ReLU = mask
+
+TPU-first design decisions (vs the reference's per-target Python/C++ loop
+and per-timestep Eigen gemvs, lstm.cpp:101-179):
+
+* All four targets' weights are STACKED on a leading axis and the network
+  is ``vmap``-ed over it, so fc matmuls run as one batched MXU gemm for
+  all targets.
+* The LSTM input projections (which carry no recurrence) are hoisted out
+  of the time loop as one large ``(T, in) @ (in, 4H)`` gemm per
+  layer/direction; only the small hidden-hidden matmul stays inside a
+  ``lax.scan`` over time.
+* Both directions run in the same scan as a batch axis (the backward
+  direction scans the time-reversed sequence), halving scan trips.
+* Streaming state (h, c per target/layer/direction) is an explicit carry
+  in and out, reproducing the reference's "streaming LSTM" whose state
+  persists across segments (umx.cpp:167-171, lstm.cpp:82).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umx_tpu.config import ModelConfig
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class UMXParams:
+    """UMX weights for all targets, stacked on a leading target axis.
+
+    Shapes below use T#=n_targets (4), F=n_features (2974), H=hidden_size
+    (1024 for UMX-L), L=n_lstm_layers (3), D=2 directions, G=lstm_hidden
+    (H/2), O=n_outputs (4098).
+    """
+
+    input_mean: Array  # (T#, F)
+    input_scale: Array  # (T#, F)
+    fc1_w: Array  # (T#, F, H)  — applied as x @ fc1_w
+    bn1_w: Array  # (T#, H)
+    bn1_b: Array  # (T#, H)
+    bn1_rm: Array  # (T#, H)
+    bn1_rv: Array  # (T#, H)
+    lstm_ih_w: Array  # (T#, L, D, H, 4G)
+    lstm_hh_w: Array  # (T#, L, D, G, 4G)
+    lstm_ih_b: Array  # (T#, L, D, 4G)
+    lstm_hh_b: Array  # (T#, L, D, 4G)
+    fc2_w: Array  # (T#, 2H, H)
+    bn2_w: Array  # (T#, H)
+    bn2_b: Array  # (T#, H)
+    bn2_rm: Array  # (T#, H)
+    bn2_rv: Array  # (T#, H)
+    fc3_w: Array  # (T#, H, O)
+    bn3_w: Array  # (T#, O)
+    bn3_b: Array  # (T#, O)
+    bn3_rm: Array  # (T#, O)
+    bn3_rv: Array  # (T#, O)
+    output_scale: Array  # (T#, O)
+    output_mean: Array  # (T#, O)
+
+    @property
+    def n_targets(self) -> int:
+        return self.fc1_w.shape[0]
+
+    @property
+    def hidden_size(self) -> int:
+        return self.fc1_w.shape[-1]
+
+    @property
+    def lstm_hidden(self) -> int:
+        return self.lstm_hh_w.shape[-2]
+
+    def astype(self, dtype) -> "UMXParams":
+        return jax.tree.map(lambda x: x.astype(dtype), self)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LSTMState:
+    """Streaming LSTM state: hidden and cell per target/layer/direction."""
+
+    h: Array  # (T#, L, D, G)
+    c: Array  # (T#, L, D, G)
+
+
+def init_lstm_state(cfg: ModelConfig, dtype=jnp.float32) -> LSTMState:
+    shape = (cfg.n_targets, cfg.n_lstm_layers, 2, cfg.lstm_hidden)
+    return LSTMState(h=jnp.zeros(shape, dtype), c=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+
+def params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXParams:
+    """Build the stacked parameter pytree from a parsed
+    :class:`umx_tpu.io.ggml.GGMLModel` (torch state-dict tensor layouts)."""
+    from umx_tpu.io.ggml import TARGET_ORDER
+
+    if cfg is None:
+        cfg = ModelConfig(hidden_size=model.hidden_size)
+    per_target = [model.targets[t] for t in TARGET_ORDER]
+
+    def stack(fn):
+        return jnp.asarray(np.stack([fn(t) for t in per_target]))
+
+    def stack_lstm(kind, transpose):
+        # torch layout: weight_* (4G, in) -> ours (in, 4G); biases (4G,)
+        def one(t):
+            per_layer = []
+            for layer in range(cfg.n_lstm_layers):
+                per_dir = []
+                for rev in ("", "_reverse"):
+                    w = t[f"lstm.{kind}_l{layer}{rev}"]
+                    per_dir.append(w.T if transpose else w)
+                per_layer.append(np.stack(per_dir))
+            return np.stack(per_layer)
+
+        return jnp.asarray(np.stack([one(t) for t in per_target]))
+
+    def dup(name):
+        # input_mean/scale are stored per cropped bin (1487) and used
+        # duplicated for the stacked stereo features (model.cpp:240-290);
+        # same for output mean/scale (2049 -> 4098).
+        return stack(lambda t: np.concatenate([t[name], t[name]]))
+
+    return UMXParams(
+        input_mean=dup("input_mean"),
+        input_scale=dup("input_scale"),
+        fc1_w=stack(lambda t: t["fc1.weight"].T),
+        bn1_w=stack(lambda t: t["bn1.weight"]),
+        bn1_b=stack(lambda t: t["bn1.bias"]),
+        bn1_rm=stack(lambda t: t["bn1.running_mean"]),
+        bn1_rv=stack(lambda t: t["bn1.running_var"]),
+        lstm_ih_w=stack_lstm("weight_ih", transpose=True),
+        lstm_hh_w=stack_lstm("weight_hh", transpose=True),
+        lstm_ih_b=stack_lstm("bias_ih", transpose=False),
+        lstm_hh_b=stack_lstm("bias_hh", transpose=False),
+        fc2_w=stack(lambda t: t["fc2.weight"].T),
+        bn2_w=stack(lambda t: t["bn2.weight"]),
+        bn2_b=stack(lambda t: t["bn2.bias"]),
+        bn2_rm=stack(lambda t: t["bn2.running_mean"]),
+        bn2_rv=stack(lambda t: t["bn2.running_var"]),
+        fc3_w=stack(lambda t: t["fc3.weight"].T),
+        bn3_w=stack(lambda t: t["bn3.weight"]),
+        bn3_b=stack(lambda t: t["bn3.bias"]),
+        bn3_rm=stack(lambda t: t["bn3.running_mean"]),
+        bn3_rv=stack(lambda t: t["bn3.running_var"]),
+        output_scale=dup("output_scale"),
+        output_mean=dup("output_mean"),
+    )
+
+
+def synthetic_state_dicts(cfg: ModelConfig, seed: int = 0) -> dict[str, dict[str, np.ndarray]]:
+    """Random per-target torch-layout state dicts for tests/benchmarks when
+    real UMX weights are unavailable (the in-repo reference artifact is a
+    Git LFS stub).  Scaled so activations stay in a sane range."""
+    from umx_tpu.io.ggml import TARGET_ORDER
+
+    rng = np.random.default_rng(seed)
+    H, F, O, G = cfg.hidden_size, cfg.n_features, cfg.n_outputs, cfg.lstm_hidden
+
+    def w(*shape, scale=None):
+        scale = scale if scale is not None else 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    targets = {}
+    for t in TARGET_ORDER:
+        d = {
+            "input_mean": w(F // 2, scale=0.1),
+            "input_scale": (1.0 + 0.1 * rng.standard_normal(F // 2)).astype(np.float32),
+            "output_scale": (1.0 + 0.1 * rng.standard_normal(O // 2)).astype(np.float32),
+            "output_mean": w(O // 2, scale=0.1),
+            "fc1.weight": w(H, F),
+            "fc2.weight": w(H, 2 * H),
+            "fc3.weight": w(O, H),
+        }
+        for i, pre in enumerate(("bn1", "bn2", "bn3")):
+            dim = (H, H, O)[i]
+            d[f"{pre}.weight"] = (1.0 + 0.1 * rng.standard_normal(dim)).astype(np.float32)
+            d[f"{pre}.bias"] = w(dim, scale=0.1)
+            d[f"{pre}.running_mean"] = w(dim, scale=0.1)
+            d[f"{pre}.running_var"] = (1.0 + 0.1 * np.abs(rng.standard_normal(dim))).astype(
+                np.float32
+            )
+        for layer in range(cfg.n_lstm_layers):
+            in_dim = H  # lstm input is H for layer 0 and 2G=H for layers 1..
+            for rev in ("", "_reverse"):
+                d[f"lstm.weight_ih_l{layer}{rev}"] = w(4 * G, in_dim)
+                d[f"lstm.weight_hh_l{layer}{rev}"] = w(4 * G, G)
+                d[f"lstm.bias_ih_l{layer}{rev}"] = w(4 * G, scale=0.1)
+                d[f"lstm.bias_hh_l{layer}{rev}"] = w(4 * G, scale=0.1)
+        targets[t] = d
+    return targets
+
+
+def synthetic_params(cfg: ModelConfig, seed: int = 0) -> UMXParams:
+    from umx_tpu.io.ggml import GGMLModel
+
+    return params_from_ggml(
+        GGMLModel(hidden_size=cfg.hidden_size, targets=synthetic_state_dicts(cfg, seed)),
+        cfg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+
+def _batchnorm(x: Array, w: Array, b: Array, rm: Array, rv: Array, eps: float) -> Array:
+    """Inference-mode BatchNorm1d (inference.cpp:88-99)."""
+    inv = jax.lax.rsqrt(rv + eps)
+    return (x - rm) * inv * w + b
+
+
+def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0):
+    """One bidirectional LSTM layer over a full sequence.
+
+    x: (T, in); per-direction weights ih_w (D, in, 4G), hh_w (D, G, 4G),
+    biases (D, 4G); initial state h0/c0 (D, G).  Returns (out (T, 2G),
+    (hT, cT) each (D, G)).
+
+    The backward direction is the forward scan applied to the reversed
+    sequence — its state carry therefore flows across segment boundaries
+    exactly like the reference's streaming LSTM (lstm.cpp:112-174 with the
+    persistent arenas of umx.cpp:167-171).
+    """
+    xs = jnp.stack([x, x[::-1]])  # (D, T, in)
+    # Input projection hoisted out of the recurrence: one big MXU gemm.
+    x_proj = (
+        jnp.einsum("dti,dig->tdg", xs, ih_w, preferred_element_type=x.dtype)
+        + ih_b
+        + hh_b
+    )  # (T, D, 4G)
+
+    def step(carry, xp):
+        h, c = carry  # (D, G)
+        gates = xp + jnp.einsum("dg,dgf->df", h, hh_w, preferred_element_type=x.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), x_proj)  # hs: (T, D, G)
+    out = jnp.concatenate([hs[:, 0], hs[::-1, 1]], axis=-1)  # (T, 2G)
+    return out, (hT, cT)
+
+
+def _forward_one_target(params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig):
+    """Mask network for ONE target (to be vmapped over the target axis).
+
+    x: (T, F) cropped stacked-stereo magnitudes.  h0/c0: (L, D, G).
+    Returns (mask (T, O), (hT, cT)).
+    """
+    eps = cfg.bn_eps
+    if cfg.input_scaling == "openunmix":
+        x = (x + params.input_mean) * params.input_scale
+    else:  # reference deviation (inference.cpp:73-83)
+        x = x * params.input_scale + params.input_mean
+
+    x = x @ params.fc1_w
+    x = jnp.tanh(_batchnorm(x, params.bn1_w, params.bn1_b, params.bn1_rm, params.bn1_rv, eps))
+
+    lstm_in = x
+    hTs, cTs = [], []
+    for layer in range(cfg.n_lstm_layers):
+        lstm_in, (hT, cT) = _bilstm_layer(
+            lstm_in,
+            params.lstm_ih_w[layer],
+            params.lstm_ih_b[layer],
+            params.lstm_hh_w[layer],
+            params.lstm_hh_b[layer],
+            h0[layer],
+            c0[layer],
+        )
+        hTs.append(hT)
+        cTs.append(cT)
+
+    x = jnp.concatenate([x, lstm_in], axis=-1)  # skip connection (T, 2H)
+    x = x @ params.fc2_w
+    x = jax.nn.relu(_batchnorm(x, params.bn2_w, params.bn2_b, params.bn2_rm, params.bn2_rv, eps))
+    x = x @ params.fc3_w
+    x = _batchnorm(x, params.bn3_w, params.bn3_b, params.bn3_rm, params.bn3_rv, eps)
+    x = jax.nn.relu(x * params.output_scale + params.output_mean)  # mask (T, O)
+    return x, (jnp.stack(hTs), jnp.stack(cTs))
+
+
+def umx_forward(
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig
+) -> tuple[Array, LSTMState]:
+    """All-targets mask network.
+
+    x: (T, F) shared input magnitudes; params carry the target axis.
+    Returns (masks (T#, T, O), new streaming state).
+    """
+    compute = x.dtype
+    p = params.astype(compute) if params.fc1_w.dtype != compute else params
+    st_h = state.h.astype(compute)
+    st_c = state.c.astype(compute)
+    masks, (hT, cT) = jax.vmap(
+        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg)
+    )(p, st_h, st_c)
+    return masks, LSTMState(h=hT.astype(state.h.dtype), c=cT.astype(state.c.dtype))
+
+
+def param_count(params: UMXParams) -> int:
+    return sum(int(np.prod(getattr(params, f.name).shape)) for f in fields(params))
