@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: xRT (audio seconds per wall second) for UMX-L 4-stem demix.
+
+Measures steady-state per-chip throughput of the full jitted segment
+pipeline (STFT → vmapped mask network → Wiener-EM → iSTFT) with
+streaming LSTM state chained between segments, exactly as a real track
+runs.  Prints ONE JSON line; vs_baseline is against the driver's
+north-star target of 100x realtime per chip (BASELINE.md; the reference
+publishes no wall-clock numbers and is slower than PyTorch, README.md:102).
+
+Env knobs:
+  UMX_BENCH_SEGMENT_SECS  (default 60)
+  UMX_BENCH_REPS          (default 5 timed segments)
+  UMX_BENCH_WIENER        (default 1)
+  UMX_BENCH_DTYPE         (default float32; bfloat16 for the fast path)
+  UMX_TPU_MODEL           (optional path to a real ggml file)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from umx_tpu.config import EngineConfig, SegmentConfig
+    from umx_tpu.engine.separator import segment_forward
+    from umx_tpu.models.umx import init_lstm_state, synthetic_params
+
+    seg_secs = float(os.environ.get("UMX_BENCH_SEGMENT_SECS", "60"))
+    reps = int(os.environ.get("UMX_BENCH_REPS", "5"))
+    use_wiener = os.environ.get("UMX_BENCH_WIENER", "1") != "0"
+    dtype = os.environ.get("UMX_BENCH_DTYPE", "float32")
+
+    cfg = EngineConfig(
+        segment=SegmentConfig(segment_secs=seg_secs),
+        use_wiener=use_wiener,
+        compute_dtype=dtype,
+    )
+
+    model_path = os.environ.get("UMX_TPU_MODEL")
+    if model_path and os.path.exists(model_path):
+        from umx_tpu.engine.separator import Separator
+
+        sep = Separator.from_ggml(model_path, cfg)
+        params, cfg = sep.params, sep.cfg
+    else:
+        params = synthetic_params(cfg.model, seed=0)
+
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32))
+    state = init_lstm_state(cfg.model)
+
+    print(
+        f"# bench: backend={jax.default_backend()} device={jax.devices()[0]} "
+        f"segment={seg_secs}s wiener={use_wiener} dtype={dtype}",
+        file=sys.stderr,
+    )
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    out, st = segment_forward(params, audio, state, cfg, n)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    # timed: chained segments (streaming state dependency, like a track)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, st = segment_forward(params, audio, st, cfg, n)
+    jax.block_until_ready((out, st))
+    wall = time.perf_counter() - t0
+
+    xrt = reps * seg_secs / wall
+    result = {
+        "metric": "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment",
+        "value": round(xrt, 2),
+        "unit": "audio_sec_per_wall_sec",
+        "vs_baseline": round(xrt / 100.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY §4: "multi-chip sharding tests on CPU jax")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig
+from umx_tpu.engine.separator import segment_forward
+from umx_tpu.models.umx import init_lstm_state, synthetic_params
+from umx_tpu.parallel.mesh import make_mesh
+from umx_tpu.parallel.sharding import batched_lstm_state, demix_segments_batch
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(
+        model=ModelConfig(hidden_size=64),
+        segment=SegmentConfig(segment_secs=0.5),
+        shifts=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return synthetic_params(cfg.model, seed=0)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_batch_matches_single_device(cfg, params):
+    mesh = make_mesh(dp=8, tp=1)
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    rng = np.random.default_rng(51)
+    batch = rng.uniform(-0.5, 0.5, (8, 2, n)).astype(np.float32)
+
+    states = batched_lstm_state(cfg, 8)
+    out_b, st_b = demix_segments_batch(params, batch, states, cfg, mesh)
+    out_b = np.asarray(out_b)
+
+    st0 = init_lstm_state(cfg.model)
+    for i in range(8):
+        ref, _ = segment_forward(params, jnp.asarray(batch[i]), st0, cfg, n)
+        np.testing.assert_allclose(out_b[i], np.asarray(ref), atol=2e-4)
+
+
+def test_dp_tp_mesh_demix(cfg, params):
+    # 4x2 mesh: tracks over dp, targets over tp
+    mesh = make_mesh(dp=4, tp=2)
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    rng = np.random.default_rng(52)
+    batch = rng.uniform(-0.5, 0.5, (4, 2, n)).astype(np.float32)
+    states = batched_lstm_state(cfg, 4)
+    out_b, _ = demix_segments_batch(params, batch, states, cfg, mesh)
+    assert np.isfinite(np.asarray(out_b)).all()
+    st0 = init_lstm_state(cfg.model)
+    ref, _ = segment_forward(params, jnp.asarray(batch[0]), st0, cfg, n)
+    np.testing.assert_allclose(np.asarray(out_b)[0], np.asarray(ref), atol=2e-4)
+
+
+def test_training_step_dp_tp_loss_decreases(cfg, params):
+    from umx_tpu.train import (
+        TrainConfig,
+        init_train_state,
+        make_batch_from_audio,
+        make_sharded_train_step,
+    )
+
+    mesh = make_mesh(dp=4, tp=2)
+    tcfg = TrainConfig(seq_len=16, learning_rate=1e-3)
+    rng = np.random.default_rng(53)
+    B = 4
+    n = cfg.dsp.hop * (tcfg.seq_len - 1)
+    mix = rng.standard_normal((B, 2, n)).astype(np.float32) * 0.1
+    targets = rng.standard_normal((B, 4, 2, n)).astype(np.float32) * 0.05
+
+    with mesh:
+        step, shard_state, shard_batch = make_sharded_train_step(
+            cfg.model, tcfg, mesh, tp=True
+        )
+        batch = shard_batch(make_batch_from_audio(mix, targets, cfg.model, cfg.dsp, tcfg.seq_len))
+        state = shard_state(init_train_state(params, tcfg))
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    # compile-check a scaled-down version inline (full UMX-L compile is
+    # covered by the driver); here we only assert the function is jittable
+    fn, args = ge.entry()
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    assert jaxpr is not None
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

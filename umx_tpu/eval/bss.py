@@ -1,0 +1,179 @@
+"""BSS-eval v4 image metrics (SDR/ISR/SIR/SAR), museval-equivalent.
+
+Functional replacement for the reference's evaluator
+(scripts/evaluate-demixed-output.py:19-52, which calls
+``museval.eval_mus_track``): framewise bss_eval_images with
+least-squares multichannel FIR projections, median-aggregated over
+1-second windows.  Implemented from the BSS-eval definitions (Vincent
+et al.; SiSEC 2018 v4 conventions) — museval itself is not available in
+this environment.
+
+Definitions per source image s_i and estimate e_i (stereo, (T, C)):
+
+    P_s  e = LS projection of e onto {delayed copies of s_i channels}
+    P_all e = LS projection of e onto {delayed copies of ALL sources}
+    e_spat   = P_s e - s_i
+    e_interf = P_all e - P_s e
+    e_artif  = e - P_all e
+
+    SDR = 10 log10 ||s_i||^2 / ||e_spat + e_interf + e_artif||^2
+    ISR = 10 log10 ||s_i||^2 / ||e_spat||^2
+    SIR = 10 log10 ||s_i + e_spat||^2 / ||e_interf||^2
+    SAR = 10 log10 ||s_i + e_spat + e_interf||^2 / ||e_artif||^2
+
+The Gram matrix over all (source, channel, lag) regressors is built
+from FFT cross-correlations and Cholesky-factorized once per window,
+then reused for every estimate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.linalg import cho_factor, cho_solve
+from scipy.signal import fftconvolve
+
+
+def _correlations(refs: np.ndarray, flen: int):
+    """refs: (K, n) regressor channels.  Returns
+    G (K*flen, K*flen) Gram matrix of all delayed regressors via FFT
+    cross-correlations (delays 0..flen-1)."""
+    K, n = refs.shape
+    nfft = int(2 ** np.ceil(np.log2(n + flen - 1)))
+    sf = np.fft.rfft(refs, nfft, axis=1)
+    # cross-correlation r_{ab}(m) = sum_t a(t-m) b(t),  m in (-flen, flen)
+    G = np.empty((K, flen, K, flen))
+    for a in range(K):
+        for b in range(a, K):
+            r = np.fft.irfft(np.conj(sf[a]) * sf[b], nfft)
+            # G[a, l, b, l'] = sum_t a(t-l) b(t-l') = r_ab(l - l')
+            # with r_ab(m) = sum_t a(t) b(t+m)
+            idx = np.arange(flen)
+            lag = idx[:, None] - idx[None, :]  # l - l'
+            blk = r[lag % nfft]
+            G[a, :, b, :] = blk
+            if a != b:
+                G[b, :, a, :] = blk.T
+    return G.reshape(K * flen, K * flen)
+
+
+def _cross_terms(refs: np.ndarray, est: np.ndarray, flen: int):
+    """d[(k, l), c] = sum_t refs_k(t - l) est_c(t)."""
+    K, n = refs.shape
+    C = est.shape[0]
+    nfft = int(2 ** np.ceil(np.log2(n + flen - 1)))
+    sf = np.fft.rfft(refs, nfft, axis=1)
+    ef = np.fft.rfft(est, nfft, axis=1)
+    d = np.empty((K, flen, C))
+    for k in range(K):
+        for c in range(C):
+            r = np.fft.irfft(np.conj(sf[k]) * ef[c], nfft)
+            d[k, :, c] = r[:flen]
+    return d.reshape(K * flen, C)
+
+
+def _project(refs: np.ndarray, coeffs: np.ndarray, flen: int, n: int):
+    """Apply the fitted FIR filters: y_c(t) = sum_k sum_l h[k,l,c] refs_k(t-l)."""
+    K = refs.shape[0]
+    C = coeffs.shape[-1]
+    h = coeffs.reshape(K, flen, C)
+    y = np.zeros((C, n + flen - 1))
+    for k in range(K):
+        for c in range(C):
+            y[c] += fftconvolve(refs[k], h[k, :, c])[: n + flen - 1]
+    return y[:, :n]
+
+
+def _db(num: float, den: float, eps: float = 1e-12) -> float:
+    return 10.0 * np.log10((num + eps) / (den + eps))
+
+
+def bss_eval_window(references: np.ndarray, estimates: np.ndarray, flen: int = 512):
+    """One-window bss_eval_images.
+
+    references, estimates: (J, C, n).  Returns (SDR, ISR, SIR, SAR)
+    arrays of shape (J,).
+    """
+    J, C, n = references.shape
+    refs_all = references.reshape(J * C, n)
+    G = _correlations(refs_all, flen)
+    # regularize tiny diagonals for silent channels
+    G[np.diag_indices_from(G)] += 1e-9 * max(1.0, np.trace(G) / G.shape[0])
+    cho_all = cho_factor(G, check_finite=False)
+
+    # per-source sub-Gram factorizations
+    chos = []
+    for j in range(J):
+        sl = slice(j * C * flen, (j + 1) * C * flen)
+        Gj = G[sl, sl].copy()
+        chos.append(cho_factor(Gj, check_finite=False))
+
+    sdr = np.empty(J)
+    isr = np.empty(J)
+    sir = np.empty(J)
+    sar = np.empty(J)
+    for j in range(J):
+        e = estimates[j]
+        d_all = _cross_terms(refs_all, e, flen)
+        h_all = cho_solve(cho_all, d_all, check_finite=False)
+        p_all = _project(refs_all, h_all, flen, n)
+
+        sl = slice(j * C * flen, (j + 1) * C * flen)
+        d_j = d_all[sl]
+        h_j = cho_solve(chos[j], d_j, check_finite=False)
+        p_j = _project(references[j], h_j, flen, n)
+
+        s_true = references[j]
+        e_spat = p_j - s_true
+        e_interf = p_all - p_j
+        e_artif = e - p_all
+
+        s2 = float(np.sum(s_true**2))
+        sdr[j] = _db(s2, float(np.sum((e_spat + e_interf + e_artif) ** 2)))
+        isr[j] = _db(s2, float(np.sum(e_spat**2)))
+        sir[j] = _db(float(np.sum((s_true + e_spat) ** 2)), float(np.sum(e_interf**2)))
+        sar[j] = _db(
+            float(np.sum((s_true + e_spat + e_interf) ** 2)), float(np.sum(e_artif**2))
+        )
+    return sdr, isr, sir, sar
+
+
+def bss_eval_images_framewise(
+    references: np.ndarray,
+    estimates: np.ndarray,
+    window: int = 44100,
+    hop: int = 44100,
+    flen: int = 512,
+):
+    """Framewise bss_eval over non-overlapping windows (museval v4
+    convention: 1 s windows, median aggregation, silent frames skipped).
+
+    references, estimates: (J, C, T).  Returns dict with per-frame
+    arrays (J, n_frames) and per-source medians (J,).
+    """
+    J, C, T = references.shape
+    assert estimates.shape == references.shape
+    frames = []
+    pos = 0
+    while pos + window <= T or (pos == 0 and T > 0):
+        end = min(T, pos + window)
+        ref_w = references[..., pos:end]
+        est_w = estimates[..., pos:end]
+        if np.any(np.sum(ref_w**2, axis=(1, 2)) < 1e-12):
+            frames.append(np.full((4, J), np.nan))
+        else:
+            frames.append(np.stack(bss_eval_window(ref_w, est_w, flen)))
+        pos += hop
+        if pos + window > T and pos < T and end == T:
+            break
+    all_frames = np.stack(frames, axis=-1)  # (4, J, n_frames)
+    med = np.nanmedian(all_frames, axis=-1)
+    return {
+        "SDR": all_frames[0],
+        "ISR": all_frames[1],
+        "SIR": all_frames[2],
+        "SAR": all_frames[3],
+        "median_SDR": med[0],
+        "median_ISR": med[1],
+        "median_SIR": med[2],
+        "median_SAR": med[3],
+    }

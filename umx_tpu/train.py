@@ -1,0 +1,142 @@
+"""Training for the UMX mask network.
+
+The reference vendors open-unmix-pytorch precisely because that is where
+its models come from (SURVEY §2c); the TPU-native framework carries its
+own trainer so the full model lifecycle (train → quantize → ggml →
+serve) lives here.  Objective follows upstream openunmix: MSE between
+the masked mixture magnitude and the target source magnitude, per
+target.  All four targets train jointly (their weights are one stacked
+pytree), which on TPU turns 4 independent CPU training runs into one
+batched program.
+
+Sharding: batch over ``dp``, the stacked target axis over ``tp``
+(model parallel).  Gradients reduce over dp via the psum XLA inserts for
+the replicated-param/sharded-batch layout; tp needs no gradient
+collectives at all because each target's weights only see its own loss
+term.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from umx_tpu.config import ModelConfig
+from umx_tpu.engine.separator import apply_masks
+from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: UMXParams
+    opt_state: Any
+    step: Array
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    # sequence length (frames) per training example
+    seq_len: int = 256
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+
+
+def init_train_state(params: UMXParams, tcfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(tcfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def mask_loss(params: UMXParams, batch: dict[str, Array], cfg: ModelConfig) -> Array:
+    """MSE between masked mix magnitudes and target magnitudes.
+
+    batch:
+      x           (B, T, F_in)  cropped stacked-stereo mix magnitudes
+      mix_mag     (B, 2, T, n_bins)
+      target_mag  (B, T#, 2, T, n_bins)
+    """
+
+    def one(xb):
+        masks, _ = umx_forward(params, xb, init_lstm_state(cfg), cfg)
+        return masks
+
+    masks = jax.vmap(one)(batch["x"])  # (B, T#, T, O)
+    pred = jax.vmap(lambda m, mg: apply_masks(m, mg, cfg.n_bins))(masks, batch["mix_mag"])
+    return jnp.mean(jnp.square(pred - batch["target_mag"]))
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig):
+    """Returns ``train_step(state, batch) -> (state, loss)`` (pure; jit
+    it with whatever shardings the caller wants)."""
+    opt = make_optimizer(tcfg)
+
+    def train_step(state: TrainState, batch: dict[str, Array]):
+        loss, grads = jax.value_and_grad(mask_loss)(state.params, batch, cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_sharded_train_step(cfg: ModelConfig, tcfg: TrainConfig, mesh, tp: bool = True):
+    """The train step jitted over a (dp, tp) mesh: batch sharded on dp,
+    params/optimizer state sharded on tp over the target axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pspec = NamedSharding(mesh, P("tp") if tp else P())
+    bspec = NamedSharding(mesh, P("dp"))
+    rspec = NamedSharding(mesh, P())
+
+    step = make_train_step(cfg, tcfg)
+
+    def shard_state(state: TrainState) -> TrainState:
+        def put(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == cfg.n_targets:
+                return jax.device_put(x, pspec)
+            return jax.device_put(x, rspec)
+
+        return jax.tree.map(put, state)
+
+    def shard_batch(batch):
+        return {k: jax.device_put(jnp.asarray(v), bspec) for k, v in batch.items()}
+
+    return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch
+
+
+def make_batch_from_audio(audio_mix, audio_targets, cfg: ModelConfig, dsp_cfg, seq_len: int):
+    """Build a training batch from raw audio on the host.
+
+    audio_mix (B, 2, n); audio_targets (B, T#, 2, n).  Uses the same
+    on-device STFT as inference (one jit per shape).
+    """
+    from umx_tpu.ops import stft as stft_ops
+
+    @partial(jax.jit, static_argnames=())
+    def prep(mix, targets):
+        mix_spec = stft_ops.stft(mix, dsp_cfg)  # (B, 2, T, F)
+        mix_mag = jnp.abs(mix_spec)
+        tgt_mag = jnp.abs(stft_ops.stft(targets, dsp_cfg))  # (B, T#, 2, T, F)
+        left = mix_mag[:, 0, :, : cfg.nb_bins_cropped]
+        right = mix_mag[:, 1, :, : cfg.nb_bins_cropped]
+        x = jnp.concatenate([left, right], axis=-1)  # (B, T, F_in)
+        return x, mix_mag, tgt_mag
+
+    x, mix_mag, tgt_mag = prep(jnp.asarray(audio_mix), jnp.asarray(audio_targets))
+    return {
+        "x": x[:, :seq_len],
+        "mix_mag": mix_mag[:, :, :seq_len],
+        "target_mag": tgt_mag[:, :, :, :seq_len],
+    }
