@@ -26,6 +26,16 @@ import time
 
 def main() -> int:
     import jax
+
+    # persistent compile cache: axon-tunnel compiles are slow (tens of
+    # seconds to minutes) and the cache survives across bench runs
+    cache_dir = os.environ.get("UMX_TPU_CACHE", "/tmp/umx_tpu_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from umx_tpu.config import EngineConfig, SegmentConfig
@@ -65,18 +75,30 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # NOTE: on the axon backend block_until_ready is not a completion
+    # barrier; a scalar device->host fetch is.  All timings below end
+    # with a sum fetch that depends on the full computation.
+    def drain(x):
+        return float(jnp.sum(x[0] if isinstance(x, tuple) else x))
+
     # warmup/compile
     t0 = time.perf_counter()
     out, st = segment_forward(params, audio, state, cfg, n)
-    jax.block_until_ready(out)
+    drain(out)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+
+    # short warm run to reach steady-state dispatch
+    o, s = out, st
+    for _ in range(2):
+        o, s = segment_forward(params, audio, s, cfg, n)
+    drain(o)
 
     # timed: chained segments (streaming state dependency, like a track)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out, st = segment_forward(params, audio, st, cfg, n)
-    jax.block_until_ready((out, st))
+        o, s = segment_forward(params, audio, s, cfg, n)
+    drain(o)
     wall = time.perf_counter() - t0
 
     xrt = reps * seg_secs / wall

@@ -323,8 +323,10 @@ int umxio_write_wav(const char *path, const float *interleaved, int64_t frames,
     const uint32_t data_len = static_cast<uint32_t>(frames * channels * 4);
     std::vector<uint8_t> out;
     out.reserve(58 + data_len);
+    // RIFF size = file bytes after this field: WAVE(4) + fmt(8+16) +
+    // fact(8+4) + data hdr(8) + payload
     out.insert(out.end(), {'R', 'I', 'F', 'F'});
-    wr_u32(out, 50 + data_len);
+    wr_u32(out, 48 + data_len);
     out.insert(out.end(), {'W', 'A', 'V', 'E', 'f', 'm', 't', ' '});
     wr_u32(out, 16);
     wr_u16(out, 3);  // IEEE float

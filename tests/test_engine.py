@@ -115,6 +115,25 @@ def test_overlap_add_unity_for_constant_network(cfg):
     assert np.abs(out).max() < 1e-4
 
 
+def test_fused_matches_host_loop(sep, audio):
+    # the single-dispatch lax.scan track program must equal the
+    # per-segment host loop bit-for-bit (same XLA ops, same order)
+    fused = np.asarray(sep.demix(audio, fused=True))
+    looped = np.asarray(sep.demix(audio, fused=False))
+    np.testing.assert_allclose(fused, looped, atol=1e-5)
+
+
+def test_fused_matches_host_loop_no_streaming(cfg, audio):
+    params = synthetic_params(cfg.model, seed=0)
+    c = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
+    )
+    s = Separator(params, c)
+    fused = np.asarray(s.demix(audio, fused=True))
+    looped = np.asarray(s.demix(audio, fused=False))
+    np.testing.assert_allclose(fused, looped, atol=1e-5)
+
+
 def test_cli_end_to_end(tmp_path, cfg, audio):
     from scipy.io import wavfile
 

@@ -52,6 +52,20 @@ def test_forward_matches_torch_oracle(cfg, state_dicts, params, x, scaling):
     np.testing.assert_allclose(np.asarray(masks), ref, atol=2e-4, rtol=1e-3)
 
 
+def test_bfloat16_matmul_path_close_to_f32(cfg, params, x):
+    """The bf16 fast path (bf16 MXU inputs, f32 accumulation, f32 gate
+    math and state) must stay close to full f32 — relative mask error
+    well under 1% so SDR impact is negligible."""
+    st = init_lstm_state(cfg)
+    m32, _ = umx_forward(params, jnp.asarray(x), st, cfg, "float32")
+    m16, _ = umx_forward(params, jnp.asarray(x), st, cfg, "bfloat16")
+    m32, m16 = np.asarray(m32), np.asarray(m16)
+    assert m16.dtype == np.float32  # output stays f32
+    denom = np.abs(m32).mean() + 1e-6
+    rel = np.abs(m16 - m32).mean() / denom
+    assert rel < 0.01, rel
+
+
 def test_masks_nonnegative(cfg, params, x):
     masks, _ = umx_forward(params, jnp.asarray(x), init_lstm_state(cfg), cfg)
     assert np.asarray(masks).min() >= 0.0

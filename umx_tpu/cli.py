@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="float32",
         help="network matmul precision (bfloat16 is faster; validate SDR)",
     )
+    p.add_argument(
+        "--host-loop",
+        action="store_true",
+        help="dispatch one XLA call per segment (per-segment progress) "
+        "instead of the fused whole-track program",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -77,10 +83,11 @@ def main(argv=None) -> int:
         f"{sep.cfg.model.hidden_size}) in {time.perf_counter() - t1:.2f} s")
 
     t2 = time.perf_counter()
+    progress = None
+    if args.host_loop and not args.quiet:
+        progress = lambda f: log(f"  demix {f * 100:.0f}%")  # noqa: E731
     stems = sep.demix_track(
-        audio,
-        seed=args.seed,
-        progress=None if args.quiet else (lambda f: log(f"  demix {f * 100:.0f}%")),
+        audio, seed=args.seed, progress=progress, fused=not args.host_loop
     )
     dt = time.perf_counter() - t2
     secs = audio.shape[1] / cfg.dsp.sample_rate

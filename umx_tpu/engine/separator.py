@@ -50,15 +50,15 @@ def apply_masks(masks: Array, mag: Array, n_bins: int) -> Array:
     return m * mag[None]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
-def segment_forward(
+def _segment_forward_impl(
     params: UMXParams,
     audio: Array,
     state: LSTMState,
     cfg: EngineConfig,
     n_samples: int,
 ) -> tuple[Array, LSTMState]:
-    """Demix one fixed-size segment.
+    """Demix one fixed-size segment (traceable; see jitted wrapper
+    :func:`segment_forward`).
 
     audio: (2, n_samples) → (waveforms (T#, 2, n_samples), new LSTM state).
     The full reference per-segment pipeline (inference.cpp:12-207) in one
@@ -68,9 +68,8 @@ def segment_forward(
     spec = stft_ops.stft(audio, dcfg)  # (2, T, F) complex
     mag = jnp.abs(spec)
 
-    x = crop_stack(mag, mcfg.nb_bins_cropped).astype(cfg.compute_dtype)
-    masks, new_state = umx_forward(params, x, state, mcfg)
-    masks = masks.astype(jnp.float32)
+    x = crop_stack(mag, mcfg.nb_bins_cropped)
+    masks, new_state = umx_forward(params, x, state, mcfg, cfg.compute_dtype)
 
     target_mags = apply_masks(masks, mag, mcfg.n_bins)  # (T#, 2, T, F)
 
@@ -83,6 +82,61 @@ def segment_forward(
 
     waves = stft_ops.istft(target_specs, n_samples, dcfg)  # (T#, 2, n)
     return waves, new_state
+
+
+segment_forward = jax.jit(
+    _segment_forward_impl, static_argnames=("cfg", "n_samples")
+)
+
+
+def _demix_fused_impl(
+    params: UMXParams,
+    audio_p: Array,
+    state: LSTMState,
+    cfg: EngineConfig,
+    n_chunks: int,
+    seg: int,
+    stride: int,
+) -> tuple[Array, LSTMState]:
+    """Whole-track demix as ONE XLA program: lax.scan over segments with
+    the streaming LSTM carry, triangular overlap-add accumulated on
+    device inside the scan.  This is the BASELINE.json north-star shape
+    — a track enters HBM once and leaves as 4 stems — and it collapses
+    the per-segment host dispatches (expensive over a remote TPU tunnel)
+    into a single call.
+
+    audio_p: (2, padded_len) where padded_len = (n_chunks-1)*stride + seg.
+    Returns ((T#, 2, padded_len) normalized stems, final LSTM state).
+    """
+    padded_len = audio_p.shape[-1]
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    init_out = jnp.zeros((cfg.model.n_targets, 2, padded_len), jnp.float32)
+    init_sw = jnp.zeros((padded_len,), jnp.float32)
+    zero_state = jax.tree.map(jnp.zeros_like, state)
+
+    def body(carry, i):
+        st, out, sw = carry
+        offset = i * stride
+        chunk = jax.lax.dynamic_slice(audio_p, (0, offset), (2, seg))
+        chunk_out, new_st = _segment_forward_impl(params, chunk, st, cfg, seg)
+        carry_st = new_st if cfg.segment.streaming else zero_state
+        upd = jax.lax.dynamic_slice(out, (0, 0, offset), (*out.shape[:2], seg))
+        out = jax.lax.dynamic_update_slice(out, upd + weight * chunk_out, (0, 0, offset))
+        sw_upd = jax.lax.dynamic_slice(sw, (offset,), (seg,)) + weight
+        sw = jax.lax.dynamic_update_slice(sw, sw_upd, (offset,))
+        return (carry_st, out, sw), None
+
+    (final_state, out, sw), _ = jax.lax.scan(
+        body, (state, init_out, init_sw), jnp.arange(n_chunks)
+    )
+    return out / sw, final_state
+
+
+demix_fused = jax.jit(
+    _demix_fused_impl,
+    static_argnames=("cfg", "n_chunks", "seg", "stride"),
+    donate_argnums=(2,),
+)
 
 
 @functools.partial(jax.jit, static_argnames=("segment_samples", "power"))
@@ -144,11 +198,17 @@ class Separator:
 
     # -- split_inference (umx.cpp:152-295) --------------------------------
 
-    def demix(self, audio, progress=None) -> Array:
+    def demix(self, audio, progress=None, fused: bool | None = None) -> Array:
         """Demucs-style overlapping-segment demix of a full track.
 
         audio: (2, length) → (n_targets, 2, length), all accumulation
-        on-device.
+        on-device.  Two execution modes:
+
+        * fused (default): the whole track runs as ONE XLA program
+          (lax.scan over segments) — minimal host involvement, the
+          track stays in HBM end to end.
+        * host-loop: one dispatch per segment; supports per-segment
+          ``progress`` callbacks (auto-selected when one is given).
         """
         cfg = self.cfg
         sr = cfg.dsp.sample_rate
@@ -156,9 +216,10 @@ class Separator:
         stride = cfg.segment.stride_samples(sr)
         audio = np.asarray(audio, np.float32)
         length = audio.shape[1]
+        if fused is None:
+            fused = progress is None
 
         state = init_lstm_state(cfg.model)
-        weight = _transition_weight(seg, cfg.segment.transition_power)
 
         # pad on host so every chunk is one full segment (fixed shapes ->
         # one XLA program for all chunks of all tracks)
@@ -168,6 +229,13 @@ class Separator:
             np.pad(audio, ((0, 0), (0, padded_len - length)))
         )
 
+        if fused:
+            out, _ = demix_fused(self.params, audio_p, state, cfg, n_chunks, seg, stride)
+            if progress is not None:
+                progress(1.0)
+            return out[..., :length]
+
+        weight = _transition_weight(seg, cfg.segment.transition_power)
         out = jnp.zeros((cfg.model.n_targets, 2, padded_len), jnp.float32)
         sum_weight = jnp.zeros((padded_len,), jnp.float32)
 
@@ -185,7 +253,7 @@ class Separator:
 
     # -- shift_inference (umx.cpp:99-150) ----------------------------------
 
-    def demix_track(self, audio, seed: int = 0, progress=None) -> np.ndarray:
+    def demix_track(self, audio, seed: int = 0, progress=None, fused: bool | None = None) -> np.ndarray:
         """Full track demix with the Demucs random-shift trick.
 
         Matches the reference contract: shifts ∈ {0, 1}; the input is
@@ -197,10 +265,10 @@ class Separator:
         audio = np.asarray(audio, np.float32)
         length = audio.shape[1]
         if cfg.shifts <= 0:
-            return np.asarray(self.demix(audio, progress=progress))
+            return np.asarray(self.demix(audio, progress=progress, fused=fused))
 
         max_shift = cfg.segment.max_shift_samples(cfg.dsp.sample_rate)
         offset = int(np.random.default_rng(seed).integers(0, max_shift))
         shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
-        out = self.demix(shifted, progress=progress)
+        out = self.demix(shifted, progress=progress, fused=fused)
         return np.asarray(out)[..., offset : offset + length]

@@ -228,7 +228,18 @@ def _batchnorm(x: Array, w: Array, b: Array, rm: Array, rv: Array, eps: float) -
     return (x - rm) * inv * w + b
 
 
-def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0):
+def _mm(x: Array, w: Array, dtype) -> Array:
+    """Matmul over the last/first axes with the MXU input dtype ``dtype``
+    (bfloat16 for the fast path) and float32 accumulation."""
+    return jax.lax.dot_general(
+        x.astype(dtype),
+        w.astype(dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
     """One bidirectional LSTM layer over a full sequence.
 
     x: (T, in); per-direction weights ih_w (D, in, 4G), hh_w (D, G, 4G),
@@ -242,15 +253,27 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0):
     """
     xs = jnp.stack([x, x[::-1]])  # (D, T, in)
     # Input projection hoisted out of the recurrence: one big MXU gemm.
+    # Matmul inputs run in `dtype` (bfloat16 fast path) with float32
+    # accumulation; gate math and the c/h state stay float32 so error
+    # cannot compound across the thousands of scan steps.
     x_proj = (
-        jnp.einsum("dti,dig->tdg", xs, ih_w, preferred_element_type=x.dtype)
+        jnp.einsum(
+            "dti,dig->tdg",
+            xs.astype(dtype),
+            ih_w.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
         + ih_b
         + hh_b
-    )  # (T, D, 4G)
+    )  # (T, D, 4G) float32
+
+    hh_w = hh_w.astype(dtype)
 
     def step(carry, xp):
-        h, c = carry  # (D, G)
-        gates = xp + jnp.einsum("dg,dgf->df", h, hh_w, preferred_element_type=x.dtype)
+        h, c = carry  # (D, G) float32
+        gates = xp + jnp.einsum(
+            "dg,dgf->df", h.astype(dtype), hh_w, preferred_element_type=jnp.float32
+        )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
@@ -261,11 +284,14 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0):
     return out, (hT, cT)
 
 
-def _forward_one_target(params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig):
+def _forward_one_target(
+    params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig, dtype=jnp.float32
+):
     """Mask network for ONE target (to be vmapped over the target axis).
 
     x: (T, F) cropped stacked-stereo magnitudes.  h0/c0: (L, D, G).
-    Returns (mask (T, O), (hT, cT)).
+    ``dtype`` is the MXU input precision for every matmul (accumulation
+    and elementwise math stay float32).  Returns (mask (T, O), (hT, cT)).
     """
     eps = cfg.bn_eps
     if cfg.input_scaling == "openunmix":
@@ -273,7 +299,7 @@ def _forward_one_target(params: UMXParams, x: Array, h0: Array, c0: Array, cfg: 
     else:  # reference deviation (inference.cpp:73-83)
         x = x * params.input_scale + params.input_mean
 
-    x = x @ params.fc1_w
+    x = _mm(x, params.fc1_w, dtype)
     x = jnp.tanh(_batchnorm(x, params.bn1_w, params.bn1_b, params.bn1_rm, params.bn1_rv, eps))
 
     lstm_in = x
@@ -287,35 +313,36 @@ def _forward_one_target(params: UMXParams, x: Array, h0: Array, c0: Array, cfg: 
             params.lstm_hh_b[layer],
             h0[layer],
             c0[layer],
+            dtype,
         )
         hTs.append(hT)
         cTs.append(cT)
 
     x = jnp.concatenate([x, lstm_in], axis=-1)  # skip connection (T, 2H)
-    x = x @ params.fc2_w
+    x = _mm(x, params.fc2_w, dtype)
     x = jax.nn.relu(_batchnorm(x, params.bn2_w, params.bn2_b, params.bn2_rm, params.bn2_rv, eps))
-    x = x @ params.fc3_w
+    x = _mm(x, params.fc3_w, dtype)
     x = _batchnorm(x, params.bn3_w, params.bn3_b, params.bn3_rm, params.bn3_rv, eps)
     x = jax.nn.relu(x * params.output_scale + params.output_mean)  # mask (T, O)
     return x, (jnp.stack(hTs), jnp.stack(cTs))
 
 
 def umx_forward(
-    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute_dtype="float32"
 ) -> tuple[Array, LSTMState]:
     """All-targets mask network.
 
-    x: (T, F) shared input magnitudes; params carry the target axis.
+    x: (T, F) shared input magnitudes (float32); params carry the target
+    axis.  ``compute_dtype`` sets the MXU matmul input precision
+    (bfloat16 fast path); activations and state stay float32.
     Returns (masks (T#, T, O), new streaming state).
     """
-    compute = x.dtype
-    p = params.astype(compute) if params.fc1_w.dtype != compute else params
-    st_h = state.h.astype(compute)
-    st_c = state.c.astype(compute)
+    dtype = jnp.dtype(compute_dtype)
+    x = x.astype(jnp.float32)
     masks, (hT, cT) = jax.vmap(
-        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg)
-    )(p, st_h, st_c)
-    return masks, LSTMState(h=hT.astype(state.h.dtype), c=cT.astype(state.c.dtype))
+        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, dtype)
+    )(params, state.h, state.c)
+    return masks, LSTMState(h=hT, c=cT)
 
 
 def param_count(params: UMXParams) -> int:
