@@ -1,0 +1,84 @@
+"""Trainer tests: loss decreases, checkpoint round-trip, ggml export of
+trained weights loads back identically."""
+
+import numpy as np
+import pytest
+
+from umx_tpu.config import DSPConfig, ModelConfig
+from umx_tpu.models.umx import synthetic_params
+from umx_tpu.train import (
+    TrainConfig,
+    TrainState,
+    export_ggml,
+    init_train_state,
+    make_batch_from_audio,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig(hidden_size=64)
+
+
+@pytest.fixture(scope="module")
+def tcfg():
+    return TrainConfig(seq_len=12, learning_rate=1e-3)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg, tcfg):
+    rng = np.random.default_rng(91)
+    dsp = DSPConfig()
+    B = 2
+    n = dsp.hop * (tcfg.seq_len - 1)
+    mix = rng.standard_normal((B, 2, n)).astype(np.float32) * 0.1
+    targets = rng.standard_normal((B, 4, 2, n)).astype(np.float32) * 0.05
+    return make_batch_from_audio(mix, targets, cfg, dsp, tcfg.seq_len)
+
+
+def test_unsharded_training_decreases_loss(cfg, tcfg, batch):
+    import jax
+
+    params = synthetic_params(cfg, seed=0)
+    state = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_round_trip(tmp_path, cfg, tcfg):
+    import jax
+
+    params = synthetic_params(cfg, seed=1)
+    state = init_train_state(params, tcfg)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = jax.tree.map(np.zeros_like, state)
+    restored = restore_checkpoint(path, template)
+    assert isinstance(restored, TrainState)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params.fc1_w), np.asarray(state.params.fc1_w)
+    )
+    assert int(restored.step) == int(state.step)
+
+
+def test_export_ggml_round_trip(tmp_path, cfg):
+    from umx_tpu.io.ggml import read_ggml
+    from umx_tpu.models.umx import params_from_ggml
+
+    params = synthetic_params(cfg, seed=2)
+    path = str(tmp_path / "trained.bin.gz")
+    export_ggml(params, path, cfg)
+    back = params_from_ggml(read_ggml(path), cfg)
+    # quantization-bounded round trip
+    for name in ("fc1_w", "lstm_ih_w", "bn1_w", "output_mean"):
+        a = np.asarray(getattr(params, name))
+        b = np.asarray(getattr(back, name))
+        step = (a.max() - a.min()) / 254.0
+        assert np.max(np.abs(a - b)) <= step / 2 + 1e-6, name

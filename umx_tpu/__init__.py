@@ -9,6 +9,16 @@ and tracks shardable data-parallel across a device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if "UMX_TPU_PLATFORM" in _os.environ:
+    # Reliable platform override: some TPU plugins clobber JAX_PLATFORMS
+    # at registration time, so an env-var-only override silently fails;
+    # jax.config.update wins as long as no backend is initialized yet.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["UMX_TPU_PLATFORM"])
+
 from umx_tpu.config import (  # noqa: F401
     TARGETS,
     DSPConfig,

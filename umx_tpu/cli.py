@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="network matmul precision (bfloat16 is faster; validate SDR)",
     )
     p.add_argument(
+        "--quantized-hbm",
+        action="store_true",
+        help="keep u8/u16 weights quantized in HBM with dequant fused "
+        "into the gemms (less memory/bandwidth; bf16-grade matmuls)",
+    )
+    p.add_argument(
         "--host-loop",
         action="store_true",
         help="dispatch one XLA call per segment (per-segment progress) "
@@ -78,7 +84,7 @@ def main(argv=None) -> int:
         f"({audio.shape[1] / cfg.dsp.sample_rate:.1f} s)")
 
     t1 = time.perf_counter()
-    sep = Separator.from_ggml(args.model_file, cfg)
+    sep = Separator.from_ggml(args.model_file, cfg, quantized_hbm=args.quantized_hbm)
     log(f"Loaded model {args.model_file} (hidden_size="
         f"{sep.cfg.model.hidden_size}) in {time.perf_counter() - t1:.2f} s")
 

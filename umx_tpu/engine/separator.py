@@ -183,18 +183,24 @@ class Separator:
         self.cfg = cfg
 
     @classmethod
-    def from_ggml(cls, path: str, cfg: EngineConfig | None = None) -> "Separator":
+    def from_ggml(
+        cls, path: str, cfg: EngineConfig | None = None, quantized_hbm: bool = False
+    ) -> "Separator":
+        """Load weights.  With ``quantized_hbm`` the u8/u16 matmul weights
+        stay quantized on device and dequant is fused into the gemms
+        (ops/qmatmul.py) — ~40% less weight HBM/bandwidth."""
         from umx_tpu.io.ggml import read_ggml
-        from umx_tpu.models.umx import params_from_ggml
+        from umx_tpu.models.umx import params_from_ggml, quantized_params_from_ggml
 
-        model = read_ggml(path)
+        model = read_ggml(path, keep_quantized=quantized_hbm)
         if cfg is None:
             cfg = EngineConfig()
         if cfg.model.hidden_size != model.hidden_size:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, hidden_size=model.hidden_size)
             )
-        return cls(params_from_ggml(model, cfg.model), cfg)
+        build = quantized_params_from_ggml if quantized_hbm else params_from_ggml
+        return cls(build(model, cfg.model), cfg)
 
     # -- split_inference (umx.cpp:152-295) --------------------------------
 

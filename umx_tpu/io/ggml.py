@@ -71,10 +71,14 @@ def qtype_for(name: str):
 @dataclass
 class GGMLModel:
     """Parsed ggml file: ``hidden_size`` plus 4 per-target tensor dicts of
-    dequantized float32 arrays in their original (torch state-dict) shapes."""
+    dequantized float32 arrays in their original (torch state-dict) shapes.
+    When parsed with ``keep_quantized=True``, ``raw`` additionally holds the
+    undequantized payloads as (q, scale, offset) for the HBM-resident
+    quantized-weights path (ops/qmatmul.py)."""
 
     hidden_size: int
     targets: dict[str, dict[str, np.ndarray]]
+    raw: dict[str, dict[str, tuple[np.ndarray, float, float]]] | None = None
 
 
 def _maybe_gunzip(data: bytes) -> bytes:
@@ -83,7 +87,7 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
-def read_ggml_bytes(data: bytes) -> GGMLModel:
+def read_ggml_bytes(data: bytes, keep_quantized: bool = False) -> GGMLModel:
     data = _maybe_gunzip(data)
     f = io.BytesIO(data)
 
@@ -93,6 +97,7 @@ def read_ggml_bytes(data: bytes) -> GGMLModel:
     (hidden_size,) = struct.unpack("<i", f.read(4))
 
     targets: list[dict[str, np.ndarray]] = [{}]
+    raws: list[dict[str, tuple[np.ndarray, float, float]]] = [{}]
     while True:
         header = f.read(16)
         if len(header) < 16:
@@ -108,26 +113,31 @@ def read_ggml_bytes(data: bytes) -> GGMLModel:
             raise ValueError(f"truncated payload for tensor {name!r}")
         if name in targets[-1]:
             targets.append({})
+            raws.append({})
         targets[-1][name] = dequantize(payload, scale, offset).reshape(shape)
+        if keep_quantized:
+            raws[-1][name] = (payload.reshape(shape), scale, offset)
 
     if len(targets) != len(TARGET_ORDER):
         raise ValueError(f"expected {len(TARGET_ORDER)} targets, got {len(targets)}")
     return GGMLModel(
         hidden_size=hidden_size,
         targets={t: d for t, d in zip(TARGET_ORDER, targets)},
+        raw={t: d for t, d in zip(TARGET_ORDER, raws)} if keep_quantized else None,
     )
 
 
-def read_ggml(path: str) -> GGMLModel:
+def read_ggml(path: str, keep_quantized: bool = False) -> GGMLModel:
     """Load a ggml model file (.bin or .bin.gz). Tries the native C++
-    parser first, falls back to pure Python."""
+    parser first (dequantized-only), falls back to pure Python."""
     from umx_tpu.io import native
 
-    model = native.read_ggml_native(path)
-    if model is not None:
-        return model
+    if not keep_quantized:
+        model = native.read_ggml_native(path)
+        if model is not None:
+            return model
     with open(path, "rb") as fh:
-        return read_ggml_bytes(fh.read())
+        return read_ggml_bytes(fh.read(), keep_quantized=keep_quantized)
 
 
 def write_ggml_bytes(hidden_size: int, targets: dict[str, dict[str, np.ndarray]]) -> bytes:

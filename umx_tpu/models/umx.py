@@ -26,6 +26,7 @@ and per-timestep Eigen gemvs, lstm.cpp:101-179):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, fields
 
 import jax
@@ -165,6 +166,55 @@ def params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXParams:
     )
 
 
+def quantized_params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXParams:
+    """Like :func:`params_from_ggml` but keeps the large matmul weights
+    (fc1/fc2/fc3, LSTM ih/hh) quantized in HBM as QTensors — the ggml
+    u8/u16 payloads stay byte-exact on device and dequantization is
+    fused algebraically into each gemm (ops/qmatmul.py).  Small vectors
+    (batchnorm stats, means/scales, biases) are dequantized to float32.
+
+    Requires a GGMLModel parsed with ``keep_quantized=True``.
+    """
+    from umx_tpu.io.ggml import TARGET_ORDER
+    from umx_tpu.ops.qmatmul import qtensor_from_raw, stack_qtensors
+
+    if model.raw is None:
+        raise ValueError("GGMLModel.raw missing: re-read with keep_quantized=True")
+    if cfg is None:
+        cfg = ModelConfig(hidden_size=model.hidden_size)
+
+    base = params_from_ggml(model, cfg)
+
+    def q_stack(name, transpose):
+        qts = []
+        for t in TARGET_ORDER:
+            q, scale, offset = model.raw[t][name]
+            qts.append(qtensor_from_raw(q.T if transpose else q, scale, offset))
+        return stack_qtensors(qts)
+
+    def q_stack_lstm(kind):
+        per_target = []
+        for t in TARGET_ORDER:
+            per_layer = []
+            for layer in range(cfg.n_lstm_layers):
+                per_dir = []
+                for rev in ("", "_reverse"):
+                    q, scale, offset = model.raw[t][f"lstm.{kind}_l{layer}{rev}"]
+                    per_dir.append(qtensor_from_raw(q.T, scale, offset))
+                per_layer.append(stack_qtensors(per_dir))
+            per_target.append(stack_qtensors(per_layer))
+        return stack_qtensors(per_target)
+
+    return dataclasses.replace(
+        base,
+        fc1_w=q_stack("fc1.weight", transpose=True),
+        fc2_w=q_stack("fc2.weight", transpose=True),
+        fc3_w=q_stack("fc3.weight", transpose=True),
+        lstm_ih_w=q_stack_lstm("weight_ih"),
+        lstm_hh_w=q_stack_lstm("weight_hh"),
+    )
+
+
 def synthetic_state_dicts(cfg: ModelConfig, seed: int = 0) -> dict[str, dict[str, np.ndarray]]:
     """Random per-target torch-layout state dicts for tests/benchmarks when
     real UMX weights are unavailable (the in-repo reference artifact is a
@@ -228,9 +278,15 @@ def _batchnorm(x: Array, w: Array, b: Array, rm: Array, rv: Array, eps: float) -
     return (x - rm) * inv * w + b
 
 
-def _mm(x: Array, w: Array, dtype) -> Array:
+def _mm(x: Array, w, dtype) -> Array:
     """Matmul over the last/first axes with the MXU input dtype ``dtype``
-    (bfloat16 for the fast path) and float32 accumulation."""
+    (bfloat16 for the fast path) and float32 accumulation.  Accepts
+    either a dense Array or an HBM-resident quantized QTensor (dequant
+    fused algebraically, ops/qmatmul.py)."""
+    from umx_tpu.ops.qmatmul import QTensor, q_mm
+
+    if isinstance(w, QTensor):
+        return q_mm(x, w)
     return jax.lax.dot_general(
         x.astype(dtype),
         w.astype(dtype),
@@ -251,29 +307,36 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
     exactly like the reference's streaming LSTM (lstm.cpp:112-174 with the
     persistent arenas of umx.cpp:167-171).
     """
+    from umx_tpu.ops.qmatmul import QTensor, q_einsum_hh, q_einsum_ih
+
     xs = jnp.stack([x, x[::-1]])  # (D, T, in)
     # Input projection hoisted out of the recurrence: one big MXU gemm.
     # Matmul inputs run in `dtype` (bfloat16 fast path) with float32
     # accumulation; gate math and the c/h state stay float32 so error
     # cannot compound across the thousands of scan steps.
-    x_proj = (
-        jnp.einsum(
+    if isinstance(ih_w, QTensor):
+        proj = q_einsum_ih(xs, ih_w)
+    else:
+        proj = jnp.einsum(
             "dti,dig->tdg",
             xs.astype(dtype),
             ih_w.astype(dtype),
             preferred_element_type=jnp.float32,
         )
-        + ih_b
-        + hh_b
-    )  # (T, D, 4G) float32
+    x_proj = proj + ih_b + hh_b  # (T, D, 4G) float32
 
-    hh_w = hh_w.astype(dtype)
+    if not isinstance(hh_w, QTensor):
+        hh_w = hh_w.astype(dtype)
 
     def step(carry, xp):
         h, c = carry  # (D, G) float32
-        gates = xp + jnp.einsum(
-            "dg,dgf->df", h.astype(dtype), hh_w, preferred_element_type=jnp.float32
-        )
+        if isinstance(hh_w, QTensor):
+            rec = q_einsum_hh(h, hh_w)
+        else:
+            rec = jnp.einsum(
+                "dg,dgf->df", h.astype(dtype), hh_w, preferred_element_type=jnp.float32
+            )
+        gates = xp + rec
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)

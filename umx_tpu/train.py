@@ -116,6 +116,68 @@ def make_sharded_train_step(cfg: ModelConfig, tcfg: TrainConfig, mesh, tp: bool 
     return jax.jit(step, donate_argnums=(0,)), shard_state, shard_batch
 
 
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (orbax).  The reference has no checkpointing at all
+# (inference-only, SURVEY §5); the trainer here gets real save/restore so
+# long runs survive preemption.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
+def export_ggml(params: UMXParams, path: str, cfg: ModelConfig) -> None:
+    """Serialize trained params back to the quantized ggml format, closing
+    the train → quantize → serve loop (the reference's converter only goes
+    from torch checkpoints)."""
+    import numpy as np
+
+    from umx_tpu.io.ggml import TARGET_ORDER, write_ggml
+
+    targets = {}
+    half_f = cfg.n_features // 2
+    half_o = cfg.n_outputs // 2
+    for t_idx, tname in enumerate(TARGET_ORDER):
+        p = jax.tree.map(lambda x: np.asarray(x[t_idx]), params)
+        d = {
+            "input_mean": p.input_mean[:half_f],
+            "input_scale": p.input_scale[:half_f],
+            "output_scale": p.output_scale[:half_o],
+            "output_mean": p.output_mean[:half_o],
+            "fc1.weight": p.fc1_w.T,
+            "fc2.weight": p.fc2_w.T,
+            "fc3.weight": p.fc3_w.T,
+        }
+        for pre, w, b, rm, rv in (
+            ("bn1", p.bn1_w, p.bn1_b, p.bn1_rm, p.bn1_rv),
+            ("bn2", p.bn2_w, p.bn2_b, p.bn2_rm, p.bn2_rv),
+            ("bn3", p.bn3_w, p.bn3_b, p.bn3_rm, p.bn3_rv),
+        ):
+            d[f"{pre}.weight"] = w
+            d[f"{pre}.bias"] = b
+            d[f"{pre}.running_mean"] = rm
+            d[f"{pre}.running_var"] = rv
+        for layer in range(cfg.n_lstm_layers):
+            for di, rev in enumerate(("", "_reverse")):
+                d[f"lstm.weight_ih_l{layer}{rev}"] = p.lstm_ih_w[layer, di].T
+                d[f"lstm.weight_hh_l{layer}{rev}"] = p.lstm_hh_w[layer, di].T
+                d[f"lstm.bias_ih_l{layer}{rev}"] = p.lstm_ih_b[layer, di]
+                d[f"lstm.bias_hh_l{layer}{rev}"] = p.lstm_hh_b[layer, di]
+        targets[tname] = d
+    write_ggml(path, cfg.hidden_size, targets)
+
+
 def make_batch_from_audio(audio_mix, audio_targets, cfg: ModelConfig, dsp_cfg, seq_len: int):
     """Build a training batch from raw audio on the host.
 
