@@ -49,12 +49,15 @@ def main() -> int:
     print(f"# backend={jax.default_backend()} segment={seg_secs}s reps={reps}")
 
     f_stft = jax.jit(lambda a: stft_ops.stft(a, cfg.dsp))
-    f_net = jax.jit(
-        lambda mag, st: umx_forward(
-            params, crop_stack(mag, cfg.model.nb_bins_cropped), st, cfg.model,
+    # params must be an ARGUMENT: closed-over arrays become inline
+    # constants and blow past the remote-compile request size limit
+    f_net_impl = jax.jit(
+        lambda p, mag, st: umx_forward(
+            p, crop_stack(mag, cfg.model.nb_bins_cropped), st, cfg.model,
             cfg.compute_dtype,
         )
     )
+    f_net = lambda mag, st: f_net_impl(params, mag, st)  # noqa: E731
     f_wiener = jax.jit(
         lambda spec, masks, mag: wiener_filter(
             spec, apply_masks(masks, mag, cfg.model.n_bins), cfg.wiener
