@@ -55,6 +55,10 @@ class ModelConfig:
     nb_bins_cropped: int = 1487
     n_bins: int = 2049
     bn_eps: float = 1e-5
+    # BLSTM recurrence implementation: "scan" = lax.scan (portable);
+    # "pallas" = one Pallas kernel per layer with VMEM-resident state
+    # and weights; "pallas_interpret" = Pallas interpreter (CPU tests).
+    lstm_impl: Literal["scan", "pallas", "pallas_interpret"] = "scan"
     # Input/output normalization convention:
     #  - "openunmix": x = (x + mean) * scale   (upstream open-unmix-pytorch)
     #  - "umxcpp":    x = x * scale + mean     (reference inference.cpp:73-83)

@@ -347,6 +347,29 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
     return out, (hT, cT)
 
 
+def _pre_lstm(params: UMXParams, x: Array, cfg: ModelConfig, dtype) -> Array:
+    """Input scaling + fc1 + bn1 + tanh for one target: (T, F) → (T, H)."""
+    if cfg.input_scaling == "openunmix":
+        x = (x + params.input_mean) * params.input_scale
+    else:  # reference deviation (inference.cpp:73-83)
+        x = x * params.input_scale + params.input_mean
+    x = _mm(x, params.fc1_w, dtype)
+    return jnp.tanh(
+        _batchnorm(x, params.bn1_w, params.bn1_b, params.bn1_rm, params.bn1_rv, cfg.bn_eps)
+    )
+
+
+def _post_lstm(params: UMXParams, x: Array, lstm_out: Array, cfg: ModelConfig, dtype) -> Array:
+    """Skip-concat + fc2/bn2/relu + fc3/bn3 + output norm for one target."""
+    eps = cfg.bn_eps
+    x = jnp.concatenate([x, lstm_out], axis=-1)  # (T, 2H)
+    x = _mm(x, params.fc2_w, dtype)
+    x = jax.nn.relu(_batchnorm(x, params.bn2_w, params.bn2_b, params.bn2_rm, params.bn2_rv, eps))
+    x = _mm(x, params.fc3_w, dtype)
+    x = _batchnorm(x, params.bn3_w, params.bn3_b, params.bn3_rm, params.bn3_rv, eps)
+    return jax.nn.relu(x * params.output_scale + params.output_mean)  # mask (T, O)
+
+
 def _forward_one_target(
     params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig, dtype=jnp.float32
 ):
@@ -356,14 +379,7 @@ def _forward_one_target(
     ``dtype`` is the MXU input precision for every matmul (accumulation
     and elementwise math stay float32).  Returns (mask (T, O), (hT, cT)).
     """
-    eps = cfg.bn_eps
-    if cfg.input_scaling == "openunmix":
-        x = (x + params.input_mean) * params.input_scale
-    else:  # reference deviation (inference.cpp:73-83)
-        x = x * params.input_scale + params.input_mean
-
-    x = _mm(x, params.fc1_w, dtype)
-    x = jnp.tanh(_batchnorm(x, params.bn1_w, params.bn1_b, params.bn1_rm, params.bn1_rv, eps))
+    x = _pre_lstm(params, x, cfg, dtype)
 
     lstm_in = x
     hTs, cTs = [], []
@@ -381,13 +397,59 @@ def _forward_one_target(
         hTs.append(hT)
         cTs.append(cT)
 
-    x = jnp.concatenate([x, lstm_in], axis=-1)  # skip connection (T, 2H)
-    x = _mm(x, params.fc2_w, dtype)
-    x = jax.nn.relu(_batchnorm(x, params.bn2_w, params.bn2_b, params.bn2_rm, params.bn2_rv, eps))
-    x = _mm(x, params.fc3_w, dtype)
-    x = _batchnorm(x, params.bn3_w, params.bn3_b, params.bn3_rm, params.bn3_rv, eps)
-    x = jax.nn.relu(x * params.output_scale + params.output_mean)  # mask (T, O)
-    return x, (jnp.stack(hTs), jnp.stack(cTs))
+    mask = _post_lstm(params, x, lstm_in, cfg, dtype)
+    return mask, (jnp.stack(hTs), jnp.stack(cTs))
+
+
+def _umx_forward_pallas(
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, dtype, interpret=False
+):
+    """Staged forward where each BLSTM layer's recurrence runs as one
+    Pallas kernel over ALL targets/directions (ops/lstm_pallas.py); the
+    fc stages stay vmapped per target."""
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas
+    from umx_tpu.ops.qmatmul import QTensor, q_einsum_ih
+
+    x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, dtype))(params)  # (T#, T, H)
+
+    lstm_in = x1
+    hTs, cTs = [], []
+    for layer in range(cfg.n_lstm_layers):
+        # (T#, D, T, in): forward rows + time-reversed rows
+        xs = jnp.stack([lstm_in, lstm_in[:, ::-1]], axis=1)
+        ih_w = params.lstm_ih_w[:, layer]
+        if isinstance(ih_w, QTensor):
+            proj = jax.vmap(q_einsum_ih)(xs, ih_w)  # (T#, T, D, 4G)
+        else:
+            proj = jnp.einsum(
+                "jdti,jdig->jtdg",
+                xs.astype(dtype),
+                ih_w.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+        x_proj = proj + (params.lstm_ih_b[:, layer] + params.lstm_hh_b[:, layer])[:, None]
+
+        hh_w = params.lstm_hh_w[:, layer]
+        if isinstance(hh_w, QTensor):
+            # dense-ify for VMEM residency (still bf16 inside the kernel)
+            dense = hh_w.planes[0].astype(jnp.float32)
+            if len(hh_w.planes) == 2:
+                dense = 256.0 * dense + hh_w.planes[1].astype(jnp.float32)
+            hh_dense = dense * hh_w.scale[..., None, None, None] + hh_w.offset[
+                ..., None, None, None
+            ]
+        else:
+            hh_dense = hh_w
+        # kernel contracts over G: wants (T#, D, G, 4G)
+        hs, hT, cT = lstm_layer_pallas(
+            x_proj, hh_dense, state.h[:, layer], state.c[:, layer], interpret=interpret
+        )
+        lstm_in = jnp.concatenate([hs[:, :, 0], hs[:, ::-1, 1]], axis=-1)  # (T#, T, 2G)
+        hTs.append(hT)
+        cTs.append(cT)
+
+    masks = jax.vmap(lambda tp, a, b: _post_lstm(tp, a, b, cfg, dtype))(params, x1, lstm_in)
+    return masks, LSTMState(h=jnp.stack(hTs, axis=1), c=jnp.stack(cTs, axis=1))
 
 
 def umx_forward(
@@ -402,6 +464,10 @@ def umx_forward(
     """
     dtype = jnp.dtype(compute_dtype)
     x = x.astype(jnp.float32)
+    if cfg.lstm_impl.startswith("pallas"):
+        return _umx_forward_pallas(
+            params, x, state, cfg, dtype, interpret=cfg.lstm_impl == "pallas_interpret"
+        )
     masks, (hT, cT) = jax.vmap(
         lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, dtype)
     )(params, state.h, state.c)
