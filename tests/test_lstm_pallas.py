@@ -86,6 +86,38 @@ def test_kernel_layer_matches_scan_layer():
     del jax
 
 
+def test_merged_kernel_matches_blocked_kernel():
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas, lstm_layer_pallas_merged
+
+    rng = np.random.default_rng(24)
+    Tn, T, D, G = 4, 19, 2, 16  # T deliberately not a multiple of K
+    x_proj = jnp.asarray(rng.standard_normal((Tn, T, D, 4 * G)).astype(np.float32) * 0.2)
+    hh_w = jnp.asarray(rng.standard_normal((Tn, D, G, 4 * G)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((Tn, D, G)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.standard_normal((Tn, D, G)).astype(np.float32) * 0.1)
+
+    a = lstm_layer_pallas(x_proj, hh_w, h0, c0, time_block=8, interpret=True)
+    b = lstm_layer_pallas_merged(x_proj, hh_w, h0, c0, time_block=8, interpret=True)
+    for xa, xb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+
+
+def test_blocked_kernel_partial_final_block():
+    # time_block > T and non-divisible T exercise the partial-block path
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas
+
+    rng = np.random.default_rng(25)
+    Tn, T, D, G = 2, 5, 2, 8
+    x_proj = jnp.asarray(rng.standard_normal((Tn, T, D, 4 * G)).astype(np.float32) * 0.2)
+    hh_w = jnp.asarray(rng.standard_normal((Tn, D, G, 4 * G)).astype(np.float32) * 0.1)
+    h0 = jnp.zeros((Tn, D, G), jnp.float32)
+    c0 = jnp.zeros((Tn, D, G), jnp.float32)
+    a = lstm_layer_pallas(x_proj, hh_w, h0, c0, time_block=4, interpret=True)
+    b = lstm_layer_pallas(x_proj, hh_w, h0, c0, time_block=16, interpret=True)
+    for xa, xb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+
+
 def test_full_forward_pallas_matches_scan(cfg_scan, cfg_pallas, params, x):
     st = init_lstm_state(cfg_scan)
     m_scan, st_scan = umx_forward(params, x, st, cfg_scan, "bfloat16")

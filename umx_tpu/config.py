@@ -56,9 +56,13 @@ class ModelConfig:
     n_bins: int = 2049
     bn_eps: float = 1e-5
     # BLSTM recurrence implementation: "scan" = lax.scan (portable);
-    # "pallas" = one Pallas kernel per layer with VMEM-resident state
-    # and weights; "pallas_interpret" = Pallas interpreter (CPU tests).
-    lstm_impl: Literal["scan", "pallas", "pallas_interpret"] = "scan"
+    # "pallas" = per-target Pallas kernel (VMEM-resident state/weights);
+    # "pallas_merged" = all targets per step (weights of all 8 chains in
+    # VMEM, independent matmuls pipeline the MXU);
+    # "pallas_interpret" = Pallas interpreter (CPU tests).
+    lstm_impl: Literal["scan", "pallas", "pallas_merged", "pallas_interpret"] = "scan"
+    # timesteps per Pallas grid step (DMA amortization)
+    lstm_time_block: int = 8
     # Input/output normalization convention:
     #  - "openunmix": x = (x + mean) * scale   (upstream open-unmix-pytorch)
     #  - "umxcpp":    x = x * scale + mean     (reference inference.cpp:73-83)

@@ -407,8 +407,12 @@ def _umx_forward_pallas(
     """Staged forward where each BLSTM layer's recurrence runs as one
     Pallas kernel over ALL targets/directions (ops/lstm_pallas.py); the
     fc stages stay vmapped per target."""
-    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas, lstm_layer_pallas_merged
     from umx_tpu.ops.qmatmul import QTensor, q_einsum_ih
+
+    layer_fn = (
+        lstm_layer_pallas_merged if cfg.lstm_impl == "pallas_merged" else lstm_layer_pallas
+    )
 
     x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, dtype))(params)  # (T#, T, H)
 
@@ -441,8 +445,13 @@ def _umx_forward_pallas(
         else:
             hh_dense = hh_w
         # kernel contracts over G: wants (T#, D, G, 4G)
-        hs, hT, cT = lstm_layer_pallas(
-            x_proj, hh_dense, state.h[:, layer], state.c[:, layer], interpret=interpret
+        hs, hT, cT = layer_fn(
+            x_proj,
+            hh_dense,
+            state.h[:, layer],
+            state.c[:, layer],
+            time_block=cfg.lstm_time_block,
+            interpret=interpret,
         )
         lstm_in = jnp.concatenate([hs[:, :, 0], hs[:, ::-1, 1]], axis=-1)  # (T#, T, 2G)
         hTs.append(hT)

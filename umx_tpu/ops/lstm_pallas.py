@@ -2,28 +2,26 @@
 
 The BLSTM is the one op whose structure fights XLA: a length-T scan of
 tiny (D*G x 4G) matmuls with a sequential carry.  XLA's `lax.scan`
-compiles to an on-device loop, but every step still pays loop/dispatch
-overhead and bounces h/c through HBM.  This kernel runs ONE LSTM layer
-(both directions, all 4 targets) as a single `pallas_call`:
+compiles to an on-device loop, but every step pays loop + buffer-cycle
+overhead.  This kernel runs ONE LSTM layer (both directions, all 4
+targets) as a single `pallas_call`:
 
-* grid = (T,) — TPU grid iterations execute sequentially, so the
-  recurrence is the grid;
-* the hidden/cell state lives in a VMEM scratch buffer for the whole
-  call (initialized from h0/c0 at step 0, written out at step T-1);
-* the hidden-hidden weights (T#, D, G, 4G) sit in VMEM across all
-  steps (their block index never changes);
-* per step it loads one x_proj row (T#, D, 4G), does the batched
-  (T#*D, G) @ (G, 4G) gate matmul on the MXU with f32 accumulation,
-  applies the gate math on the VPU in f32, and writes h to the output
-  row.
+* grid = (targets, time-blocks) — TPU grid iterations execute
+  sequentially, so the recurrence rides the grid;
+* each grid step loads a block of ``time_block`` x_proj rows with ONE
+  pipelined DMA and runs the recurrence over them from VMEM (an inner
+  ``fori_loop``), amortizing per-step DMA/loop overhead;
+* the hidden/cell state lives in VMEM scratch for the whole call
+  (initialized from h0/c0 at block 0, exported at the last block);
+* the hidden-hidden weights for the current target sit in VMEM across
+  all time blocks (their block index never changes);
+* gate matmuls run on the MXU in bf16 with f32 accumulation; gate math
+  and state stay f32 on the VPU.
 
 Input projections (x @ W_ih + biases) are computed OUTSIDE as one big
 gemm, exactly like the lax.scan path (models/umx.py::_bilstm_layer).
-
-VMEM budget (UMX-L, bf16 weights): W_hh 4*2*512*2048*2B = 16.8 MB —
-over the ~16 MB/core budget, so weights are kept in bf16 and the
-kernel is gridded (target,) x (T,) with per-target weight residency
-(4.2 MB) instead when needed.  The default layout splits targets.
+Mosaic cannot lower batched dot_general, so the direction batch (D=2)
+is unrolled into plain matmuls.
 """
 
 from __future__ import annotations
@@ -38,54 +36,76 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _lstm_layer_kernel(x_proj_ref, hh_w_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref, h_s, c_s):
-    """One grid step = one timestep for one target.
+def _make_kernel(K: int, last_k: int):
+    def kernel(xp_ref, hh_w_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref, h_s, c_s):
+        """One grid step = ``K`` timesteps for one target.
 
-    Shapes (per block):
-      x_proj_ref: (1, 1, D, 4G)   hh_w_ref: (1, D, G, 4G)
-      h0/c0:      (1, D, G)       out_ref: (1, 1, D, G)
-      hT/cT:      (1, D, G)       scratch h_s/c_s: (D, G) f32
-    """
-    t = pl.program_id(1)
-    n_t = pl.num_programs(1)
+        Block shapes:
+          xp_ref: (1, K, D, 4G)   hh_w_ref: (1, D, G, 4G)
+          h0/c0:  (1, D, G)       out_ref: (1, K, D, G)
+          hT/cT:  (1, D, G)       scratch h_s/c_s: (D, G) f32
+        """
+        b = pl.program_id(1)
+        n_b = pl.num_programs(1)
 
-    @pl.when(t == 0)
-    def _():
-        h_s[:] = h0_ref[0]
-        c_s[:] = c0_ref[0]
+        @pl.when(b == 0)
+        def _():
+            h_s[:] = h0_ref[0]
+            c_s[:] = c0_ref[0]
 
-    h = h_s[:]  # (D, G) f32
-    c = c_s[:]
+        hh_w = hh_w_ref[0]  # (D, G, 4G), resident across the target's blocks
+        D = h_s.shape[0]
+        G = h_s.shape[1]
+        # the final block may be partial (T not a multiple of K)
+        steps = jnp.where(b == n_b - 1, last_k, K)
 
-    # gates = x_proj + h @ W_hh  (batched over D on the MXU, f32 accum)
-    rec = jax.lax.dot_general(
-        h.astype(hh_w_ref.dtype),
-        hh_w_ref[0],
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (D, 4G)
-    gates = x_proj_ref[0, 0].astype(jnp.float32) + rec
+        def body(k, _):
+            h = h_s[:]
+            c = c_s[:]
+            hb = h.astype(hh_w.dtype)
+            rec = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        hb[d : d + 1],
+                        hh_w[d],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for d in range(D)
+                ],
+                axis=0,
+            )  # (D, 4G)
+            gates = xp_ref[0, pl.ds(k, 1)][0].astype(jnp.float32) + rec
+            i = jax.nn.sigmoid(gates[:, :G])
+            f = jax.nn.sigmoid(gates[:, G : 2 * G])
+            g = jnp.tanh(gates[:, 2 * G : 3 * G])
+            o = jax.nn.sigmoid(gates[:, 3 * G :])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            h_s[:] = h
+            c_s[:] = c
+            out_ref[0, pl.ds(k, 1)] = h[None]
+            return 0
 
-    G = h.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :G])
-    f = jax.nn.sigmoid(gates[:, G : 2 * G])
-    g = jnp.tanh(gates[:, 2 * G : 3 * G])
-    o = jax.nn.sigmoid(gates[:, 3 * G :])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
+        jax.lax.fori_loop(0, steps, body, 0)
 
-    h_s[:] = h
-    c_s[:] = c
-    out_ref[0, 0] = h
+        @pl.when(b == n_b - 1)
+        def _():
+            hT_ref[0] = h_s[:]
+            cT_ref[0] = c_s[:]
 
-    @pl.when(t == n_t - 1)
-    def _():
-        hT_ref[0] = h
-        cT_ref[0] = c
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def lstm_layer_pallas(x_proj: Array, hh_w: Array, h0: Array, c0: Array, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("time_block", "interpret"))
+def lstm_layer_pallas(
+    x_proj: Array,
+    hh_w: Array,
+    h0: Array,
+    c0: Array,
+    time_block: int = 8,
+    interpret: bool = False,
+):
     """Run one LSTM layer's recurrence for all targets/directions.
 
     x_proj: (T#, T, D, 4G) float32 — precomputed input projections
@@ -98,23 +118,30 @@ def lstm_layer_pallas(x_proj: Array, hh_w: Array, h0: Array, c0: Array, interpre
     G = G4 // 4
     hh_w = hh_w.astype(jnp.bfloat16)
 
-    grid = (n_targets, T)
+    K = min(time_block, T)
+    n_blocks = -(-T // K)
+    T_pad = n_blocks * K
+    last_k = T - (n_blocks - 1) * K
+    if T_pad != T:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+
+    grid = (n_targets, n_blocks)
     kernel = pl.pallas_call(
-        _lstm_layer_kernel,
+        _make_kernel(K, last_k),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, D, G4), lambda j, t: (j, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, G, G4), lambda j, t: (j, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, G), lambda j, t: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, G), lambda j, t: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D, G4), lambda j, b: (j, b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, G, G4), lambda j, b: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, G), lambda j, b: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, G), lambda j, b: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D, G), lambda j, t: (j, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, G), lambda j, t: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, G), lambda j, t: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D, G), lambda j, b: (j, b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, G), lambda j, b: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, G), lambda j, b: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_targets, T, D, G), jnp.float32),
+            jax.ShapeDtypeStruct((n_targets, T_pad, D, G), jnp.float32),
             jax.ShapeDtypeStruct((n_targets, D, G), jnp.float32),
             jax.ShapeDtypeStruct((n_targets, D, G), jnp.float32),
         ],
@@ -125,4 +152,129 @@ def lstm_layer_pallas(x_proj: Array, hh_w: Array, h0: Array, c0: Array, interpre
         interpret=interpret,
     )
     hs, hT, cT = kernel(x_proj, hh_w, h0.astype(jnp.float32), c0.astype(jnp.float32))
-    return hs, hT, cT
+    return hs[:, :T], hT, cT
+
+
+def _make_merged_kernel(K: int, last_k: int, R: int):
+    def kernel(xp_ref, hh_w_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref, h_s, c_s):
+        """One grid step = ``K`` timesteps for ALL (target, direction)
+        rows at once.  The R row chains are independent, so their MXU
+        matmuls can pipeline back-to-back instead of serializing on the
+        recurrence latency.
+
+        Block shapes:
+          xp_ref: (K, R, 4G)   hh_w_ref: (R, G, 4G)
+          h0/c0:  (R, G)       out_ref: (K, R, G)
+          hT/cT:  (R, G)       scratch h_s/c_s: (R, G) f32
+        """
+        b = pl.program_id(0)
+        n_b = pl.num_programs(0)
+
+        @pl.when(b == 0)
+        def _():
+            h_s[:] = h0_ref[:]
+            c_s[:] = c0_ref[:]
+
+        G = h_s.shape[1]
+        steps = jnp.where(b == n_b - 1, last_k, K)
+
+        def body(k, _):
+            h = h_s[:]
+            c = c_s[:]
+            hb = h.astype(hh_w_ref.dtype)
+            rec = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        hb[r : r + 1],
+                        hh_w_ref[r],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for r in range(R)
+                ],
+                axis=0,
+            )  # (R, 4G)
+            gates = xp_ref[pl.ds(k, 1)][0].astype(jnp.float32) + rec
+            i = jax.nn.sigmoid(gates[:, :G])
+            f = jax.nn.sigmoid(gates[:, G : 2 * G])
+            g = jnp.tanh(gates[:, 2 * G : 3 * G])
+            o = jax.nn.sigmoid(gates[:, 3 * G :])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            h_s[:] = h
+            c_s[:] = c
+            out_ref[pl.ds(k, 1)] = h[None]
+            return 0
+
+        jax.lax.fori_loop(0, steps, body, 0)
+
+        @pl.when(b == n_b - 1)
+        def _():
+            hT_ref[:] = h_s[:]
+            cT_ref[:] = c_s[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("time_block", "interpret"))
+def lstm_layer_pallas_merged(
+    x_proj: Array,
+    hh_w: Array,
+    h0: Array,
+    c0: Array,
+    time_block: int = 8,
+    interpret: bool = False,
+):
+    """Target-merged variant: grid over time only; all targets' and
+    directions' weights resident in VMEM simultaneously (UMX-L bf16:
+    8*512*2048*2B = 16.8 MB) so the 8 independent recurrence chains
+    pipeline the MXU within each step.
+
+    Same signature/returns as :func:`lstm_layer_pallas`.
+    """
+    n_targets, T, D, G4 = x_proj.shape
+    G = G4 // 4
+    R = n_targets * D
+    hh_flat = hh_w.astype(jnp.bfloat16).reshape(R, G, G4)
+    xp_flat = jnp.transpose(x_proj, (1, 0, 2, 3)).reshape(T, R, G4)
+    h0_flat = h0.astype(jnp.float32).reshape(R, G)
+    c0_flat = c0.astype(jnp.float32).reshape(R, G)
+
+    K = min(time_block, T)
+    n_blocks = -(-T // K)
+    T_pad = n_blocks * K
+    last_k = T - (n_blocks - 1) * K
+    if T_pad != T:
+        xp_flat = jnp.pad(xp_flat, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    kernel = pl.pallas_call(
+        _make_merged_kernel(K, last_k, R),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((K, R, G4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G, G4), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, R, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
+            jax.ShapeDtypeStruct((R, G), jnp.float32),
+            jax.ShapeDtypeStruct((R, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, G), jnp.float32),
+            pltpu.VMEM((R, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    hs, hT, cT = kernel(xp_flat, hh_flat, h0_flat, c0_flat)
+    hs = jnp.transpose(hs[:T].reshape(T, n_targets, D, G), (1, 0, 2, 3))
+    return hs, hT.reshape(n_targets, D, G), cT.reshape(n_targets, D, G)
