@@ -13,6 +13,8 @@ Env knobs:
   UMX_BENCH_REPS          (default 5 timed segments)
   UMX_BENCH_WIENER        (default 1)
   UMX_BENCH_DTYPE         (default float32; bfloat16 for the fast path)
+  UMX_BENCH_BATCH         (default 1; >1 = B tracks' segments batched,
+                           the fleet/serving throughput configuration)
   UMX_TPU_MODEL           (optional path to a real ggml file)
 """
 
@@ -46,6 +48,7 @@ def main() -> int:
     reps = int(os.environ.get("UMX_BENCH_REPS", "5"))
     use_wiener = os.environ.get("UMX_BENCH_WIENER", "1") != "0"
     dtype = os.environ.get("UMX_BENCH_DTYPE", "float32")
+    batch = int(os.environ.get("UMX_BENCH_BATCH", "1"))
 
     cfg = EngineConfig(
         segment=SegmentConfig(segment_secs=seg_secs),
@@ -66,12 +69,27 @@ def main() -> int:
     import numpy as np
 
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32))
     state = init_lstm_state(cfg.model)
+    if batch > 1:
+        from umx_tpu.engine.separator import _segment_forward_impl
+
+        audio = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, 2, n)).astype(np.float32))
+        state = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), state)
+        fwd = jax.jit(
+            jax.vmap(
+                lambda a, s, p: _segment_forward_impl(p, a, s, cfg, n),
+                in_axes=(0, 0, None),
+            ),
+            static_argnames=(),
+        )
+        segment_fn = lambda p, a, s, c, m: fwd(a, s, p)  # noqa: E731
+    else:
+        audio = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32))
+        segment_fn = segment_forward
 
     print(
         f"# bench: backend={jax.default_backend()} device={jax.devices()[0]} "
-        f"segment={seg_secs}s wiener={use_wiener} dtype={dtype}",
+        f"segment={seg_secs}s wiener={use_wiener} dtype={dtype} batch={batch}",
         file=sys.stderr,
     )
 
@@ -83,7 +101,7 @@ def main() -> int:
 
     # warmup/compile
     t0 = time.perf_counter()
-    out, st = segment_forward(params, audio, state, cfg, n)
+    out, st = segment_fn(params, audio, state, cfg, n)
     drain(out)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first-run: {compile_s:.1f}s", file=sys.stderr)
@@ -91,19 +109,22 @@ def main() -> int:
     # short warm run to reach steady-state dispatch
     o, s = out, st
     for _ in range(2):
-        o, s = segment_forward(params, audio, s, cfg, n)
+        o, s = segment_fn(params, audio, s, cfg, n)
     drain(o)
 
     # timed: chained segments (streaming state dependency, like a track)
     t0 = time.perf_counter()
     for _ in range(reps):
-        o, s = segment_forward(params, audio, s, cfg, n)
+        o, s = segment_fn(params, audio, s, cfg, n)
     drain(o)
     wall = time.perf_counter() - t0
 
-    xrt = reps * seg_secs / wall
+    xrt = batch * reps * seg_secs / wall
+    name = "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment"
+    if batch > 1:
+        name += f"_batch{batch}"
     result = {
-        "metric": "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment",
+        "metric": name,
         "value": round(xrt, 2),
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(xrt / 100.0, 4),
