@@ -1,0 +1,18 @@
+#!/bin/bash
+# Static checks (reference's CMake `lint` target equivalent,
+# CMakeLists.txt:75-82). The image has no ruff/clang-format; this uses
+# what's available: bytecode compilation of every Python file, g++
+# syntax+warning pass over the native code, and pytest collection.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== python compileall =="
+python -m compileall -q umx_tpu tests scripts bench.py __graft_entry__.py
+
+echo "== native g++ -Wall -Wextra -Werror syntax pass =="
+g++ -O2 -Wall -Wextra -Werror -std=c++17 -fsyntax-only native/umxio.cpp
+
+echo "== pytest collection =="
+python -m pytest tests/ --collect-only -q | tail -2
+
+echo "lint OK"

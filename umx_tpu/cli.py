@@ -53,6 +53,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        print(f"umx-tpu: file not found: {e.filename or e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"umx-tpu: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     def log(*a):

@@ -29,6 +29,10 @@ class DSPConfig:
     # TPU backends without an FFT op, and MXU-friendly regardless);
     # "auto" picks matmul on TPU, xla elsewhere.
     fft_impl: Literal["auto", "xla", "matmul"] = "auto"
+    # MXU precision for the matmul-DFT: "highest" = 6-pass fp32 emulation,
+    # "high" = 3-pass bf16 (~2x faster, ~1e-6 relative error — far inside
+    # the 1e-4 STFT tolerance), "default" = 1-pass bf16 (fastest, ~1e-3).
+    dft_precision: Literal["highest", "high", "default"] = "high"
 
     @property
     def n_bins(self) -> int:

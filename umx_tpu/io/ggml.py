@@ -87,8 +87,14 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
-def read_ggml_bytes(data: bytes, keep_quantized: bool = False) -> GGMLModel:
+def read_ggml_bytes(
+    data: bytes, keep_quantized: bool = False, progress=None
+) -> GGMLModel:
+    """Parse a ggml payload.  ``progress`` is an optional callable fed a
+    float in [0, 1] per tensor record (role of the reference's
+    ``load_progress`` struct field, model.hpp:53-55)."""
     data = _maybe_gunzip(data)
+    total = len(data)
     f = io.BytesIO(data)
 
     (magic,) = struct.unpack("<i", f.read(4))
@@ -117,6 +123,8 @@ def read_ggml_bytes(data: bytes, keep_quantized: bool = False) -> GGMLModel:
         targets[-1][name] = dequantize(payload, scale, offset).reshape(shape)
         if keep_quantized:
             raws[-1][name] = (payload.reshape(shape), scale, offset)
+        if progress is not None:
+            progress(f.tell() / total)
 
     if len(targets) != len(TARGET_ORDER):
         raise ValueError(f"expected {len(TARGET_ORDER)} targets, got {len(targets)}")
@@ -127,17 +135,17 @@ def read_ggml_bytes(data: bytes, keep_quantized: bool = False) -> GGMLModel:
     )
 
 
-def read_ggml(path: str, keep_quantized: bool = False) -> GGMLModel:
+def read_ggml(path: str, keep_quantized: bool = False, progress=None) -> GGMLModel:
     """Load a ggml model file (.bin or .bin.gz). Tries the native C++
     parser first (dequantized-only), falls back to pure Python."""
     from umx_tpu.io import native
 
-    if not keep_quantized:
+    if not keep_quantized and progress is None:
         model = native.read_ggml_native(path)
         if model is not None:
             return model
     with open(path, "rb") as fh:
-        return read_ggml_bytes(fh.read(), keep_quantized=keep_quantized)
+        return read_ggml_bytes(fh.read(), keep_quantized=keep_quantized, progress=progress)
 
 
 def write_ggml_bytes(hidden_size: int, targets: dict[str, dict[str, np.ndarray]]) -> bytes:

@@ -43,31 +43,38 @@ def _dft_mats_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def _dot(a: Array, b: Array, transpose_b: bool = False) -> Array:
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _dot(a: Array, b: Array, precision: str, transpose_b: bool = False) -> Array:
     contract = ((a.ndim - 1,), (1 if transpose_b else 0,))
     return jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(contract, ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISIONS[precision],
         preferred_element_type=jnp.float32,
     )
 
 
-def rdft(x: Array, n_fft: int) -> tuple[Array, Array]:
+def rdft(x: Array, n_fft: int, precision: str = "high") -> tuple[Array, Array]:
     """Forward one-sided real DFT of frames ``x (..., n_fft)`` →
     ``(re, im)`` each ``(..., n_fft//2 + 1)``."""
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_mats_np(n_fft))
     x = x.astype(jnp.float32)
-    return _dot(x, cos_m), -_dot(x, sin_m)
+    return _dot(x, cos_m, precision), -_dot(x, sin_m, precision)
 
 
-def irdft(re: Array, im: Array, n_fft: int) -> Array:
+def irdft(re: Array, im: Array, n_fft: int, precision: str = "high") -> Array:
     """Inverse of :func:`rdft` with 1/N scaling → frames ``(..., n_fft)``."""
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_mats_np(n_fft))
     n_bins = n_fft // 2 + 1
     w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
     w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
-    return _dot(re.astype(jnp.float32) * w, cos_m, transpose_b=True) - _dot(
-        im.astype(jnp.float32) * w, sin_m, transpose_b=True
+    return _dot(re.astype(jnp.float32) * w, cos_m, precision, transpose_b=True) - _dot(
+        im.astype(jnp.float32) * w, sin_m, precision, transpose_b=True
     )

@@ -100,7 +100,7 @@ def stft(x: Array, cfg: DSPConfig) -> Array:
     frames = frame_signal(xp, cfg.n_fft, cfg.hop) * hann_window(cfg.n_fft)
     frames = frames.astype(jnp.float32)
     if _use_matmul_fft(cfg):
-        re, im = mxu_fft.rdft(frames, cfg.n_fft)
+        re, im = mxu_fft.rdft(frames, cfg.n_fft, cfg.dft_precision)
         return jax.lax.complex(re, im)
     return jnp.fft.rfft(frames, axis=-1)
 
@@ -111,7 +111,7 @@ def istft(spec: Array, n_samples: int, cfg: DSPConfig) -> Array:
     n_frames = spec.shape[-2]
     win = hann_window(cfg.n_fft)
     if _use_matmul_fft(cfg):
-        frames = mxu_fft.irdft(spec.real, spec.imag, cfg.n_fft) * win
+        frames = mxu_fft.irdft(spec.real, spec.imag, cfg.n_fft, cfg.dft_precision) * win
     else:
         frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1).astype(jnp.float32) * win
     sig = overlap_add(frames, cfg.hop)
