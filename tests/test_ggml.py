@@ -100,6 +100,31 @@ def test_bad_magic_rejected():
         read_ggml_bytes(b"\x00\x00\x00\x00\x00\x00\x00\x00")
 
 
+def test_truncated_payload_rejected():
+    cfg = ModelConfig(hidden_size=32)
+    data = write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=9))
+    with pytest.raises(ValueError, match="truncated|targets"):
+        read_ggml_bytes(data[: len(data) // 3])
+
+
+def test_random_garbage_rejected_not_crash():
+    rng = np.random.default_rng(10)
+    for n in (8, 64, 1024):
+        blob = bytes([0x67, 0x78, 0x6D, 0x75]) + rng.bytes(n)  # valid magic + noise
+        with pytest.raises((ValueError, Exception)):
+            read_ggml_bytes(blob)
+
+
+def test_load_progress_callback():
+    cfg = ModelConfig(hidden_size=32)
+    data = write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=11))
+    seen = []
+    read_ggml_bytes(data, progress=seen.append)
+    assert len(seen) == 4 * 43
+    assert seen == sorted(seen)
+    assert seen[-1] == pytest.approx(1.0)
+
+
 def test_params_from_ggml_shapes():
     cfg = ModelConfig(hidden_size=64)
     model = GGMLModel(hidden_size=64, targets=synthetic_state_dicts(cfg, seed=5))

@@ -9,7 +9,6 @@ the knobs the reference hardcodes (SURVEY §5 config inventory).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 import time
@@ -35,6 +34,19 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("float32", "bfloat16"),
         default="float32",
         help="network matmul precision (bfloat16 is faster; validate SDR)",
+    )
+    p.add_argument(
+        "--input-scaling",
+        choices=("openunmix", "umxcpp"),
+        default="openunmix",
+        help="input normalization convention: upstream openunmix "
+        "(x+mean)*scale or the reference C++'s x*scale+mean deviation",
+    )
+    p.add_argument(
+        "--wiener-psd",
+        choices=("correct", "umxcpp"),
+        default="correct",
+        help="source PSD: standard |y|^2 or the reference's (re+im)^2 quirk",
     )
     p.add_argument(
         "--quantized-hbm",
@@ -70,24 +82,22 @@ def _main(argv=None) -> int:
         if not args.quiet:
             print(*a, flush=True)
 
-    from umx_tpu.config import EngineConfig, SegmentConfig
+    from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig, WienerConfig
     from umx_tpu.engine.separator import Separator
     from umx_tpu.io.audio import load_audio, write_audio
 
     cfg = EngineConfig(
+        model=ModelConfig(input_scaling=args.input_scaling),
         segment=SegmentConfig(
             segment_secs=args.segment_secs,
             overlap=args.overlap,
             streaming=not args.no_streaming,
         ),
+        wiener=WienerConfig(iterations=args.wiener_iters, psd=args.wiener_psd),
         use_wiener=not args.no_wiener,
         shifts=args.shifts,
         compute_dtype=args.compute_dtype,
     )
-    if args.wiener_iters != 1:
-        cfg = dataclasses.replace(
-            cfg, wiener=dataclasses.replace(cfg.wiener, iterations=args.wiener_iters)
-        )
 
     t0 = time.perf_counter()
     audio = load_audio(args.wav_file, cfg.dsp.sample_rate)
