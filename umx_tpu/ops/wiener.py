@@ -84,12 +84,13 @@ def wiener_filter(
         Cxx = reg + jnp.einsum("tfs,fscd->tfcd", v, R)
         inv_Cxx = _invert2x2(Cxx)
 
-        # Wiener gain and new estimates, per source (vmapped over S)
-        def one_source(Rj, vj):
-            gain = jnp.einsum("fck,tfkd->tfcd", Rj, inv_Cxx) * vj[..., None, None]
-            return jnp.einsum("tfcd,tfd->tfc", gain, x)
-
-        y_new = jax.vmap(one_source, in_axes=(1, 2), out_axes=3)(R, v)
+        # New estimates.  The Wiener gain G_j = v_j R_j Cxx^-1 applied to
+        # x factorizes: y_j(c) = v_j Σ_k R_j(c,k) [Cxx^-1 x](k), and
+        # z = Cxx^-1 x is SOURCE-INDEPENDENT — computing it once replaces
+        # four (T, F, 2, 2) gain materializations with one (T, F, 2)
+        # solve-product (≈3x less HBM traffic in the EM update).
+        z = jnp.einsum("tfkd,tfd->tfk", inv_Cxx, x)
+        y_new = jnp.einsum("fsck,tfk->tfcs", R, z) * v[:, :, None, :]
         return y_new
 
     for _ in range(cfg.iterations):
