@@ -134,6 +134,43 @@ def test_fused_matches_host_loop_no_streaming(cfg, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+def test_mono_input_duplicated(tmp_path):
+    from scipy.io import wavfile
+
+    from umx_tpu.io.audio import load_audio
+
+    rng = np.random.default_rng(41)
+    mono = rng.uniform(-0.5, 0.5, 5000).astype(np.float32)
+    path = str(tmp_path / "mono.wav")
+    wavfile.write(path, 44100, mono)
+    audio = load_audio(path)
+    assert audio.shape == (2, 5000)
+    np.testing.assert_array_equal(audio[0], audio[1])
+
+
+def test_two_wiener_iterations_through_engine(cfg):
+    params = synthetic_params(cfg.model, seed=0)
+    c = dataclasses.replace(cfg, wiener=dataclasses.replace(cfg.wiener, iterations=2))
+    out = np.asarray(Separator(params, c).demix(np.zeros((2, 44100), np.float32) + 0.1))
+    assert np.isfinite(out).all()
+
+
+def test_umxhq_hidden_size_dispatch(tmp_path):
+    # a hidden=512-family file must reconfigure the engine automatically
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+
+    from umx_tpu.config import ModelConfig
+
+    mcfg = ModelConfig(hidden_size=96)
+    path = str(tmp_path / "hq.bin")
+    write_ggml(path, 96, synthetic_state_dicts(mcfg, seed=1))
+    sep = Separator.from_ggml(path)
+    assert sep.cfg.model.hidden_size == 96
+    assert sep.params.hidden_size == 96
+    assert sep.params.lstm_hidden == 48
+
+
 def test_cli_end_to_end(tmp_path, cfg, audio):
     from scipy.io import wavfile
 
