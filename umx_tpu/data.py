@@ -1,0 +1,159 @@
+"""Training data pipeline: MUSDB-style stem directories → batches.
+
+Covers the role of the vendored open-unmix-pytorch trainer's dataset
+code (SURVEY §2c): sample random fixed-length excerpts from tracks laid
+out as ``<root>/<track>/{bass,drums,other,vocals}.wav``, apply the
+standard source-separation augmentations (random gain, channel swap,
+inter-track source mixing), and emit mixtures + per-source targets.
+
+Host-side numpy only; the on-device STFT/feature step is
+:func:`umx_tpu.train.make_batch_from_audio`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from umx_tpu.config import TARGETS
+
+
+@dataclass
+class AugmentConfig:
+    gain_min: float = 0.25
+    gain_max: float = 1.25
+    channel_swap_prob: float = 0.5
+    # sample each source from a different random track ("source mixing",
+    # the strongest openunmix augmentation)
+    source_mixing: bool = True
+
+
+@dataclass
+class StemDataset:
+    """Random-excerpt sampler over a directory of stem folders."""
+
+    root: str
+    excerpt_samples: int
+    sample_rate: int = 44100
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    seed: int = 0
+
+    def __post_init__(self):
+        self.tracks = sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+            and all(
+                os.path.exists(os.path.join(self.root, d, f"{t}.wav")) for t in TARGETS
+            )
+        )
+        if not self.tracks:
+            raise FileNotFoundError(
+                f"no stem folders with {'/'.join(TARGETS)}.wav under {self.root}"
+            )
+        self._rng = np.random.default_rng(self.seed)
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _load_stems(self, track: str) -> np.ndarray:
+        """(T#, 2, n) float32, memoized."""
+        if track not in self._cache:
+            from umx_tpu.io.audio import load_audio
+
+            stems = [
+                load_audio(os.path.join(self.root, track, f"{t}.wav"), self.sample_rate)
+                for t in TARGETS
+            ]
+            n = min(s.shape[1] for s in stems)
+            self._cache[track] = np.stack([s[:, :n] for s in stems])
+        return self._cache[track]
+
+    def _excerpt(self, track: str, target_idx: int) -> np.ndarray:
+        stems = self._load_stems(track)
+        n = stems.shape[-1]
+        L = self.excerpt_samples
+        if n <= L:
+            pad = np.zeros((2, L), np.float32)
+            pad[:, :n] = stems[target_idx]
+            return pad
+        start = int(self._rng.integers(0, n - L))
+        return stems[target_idx, :, start : start + L].copy()
+
+    def _augment(self, x: np.ndarray) -> np.ndarray:
+        a = self.augment
+        gain = self._rng.uniform(a.gain_min, a.gain_max)
+        x = x * np.float32(gain)
+        if self._rng.random() < a.channel_swap_prob:
+            x = x[::-1]
+        return x
+
+    def sample(self, batch_size: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (mix (B, 2, L), targets (B, T#, 2, L))."""
+        B = batch_size
+        targets = np.empty((B, len(TARGETS), 2, self.excerpt_samples), np.float32)
+        for b in range(B):
+            base = self.tracks[int(self._rng.integers(len(self.tracks)))]
+            for j in range(len(TARGETS)):
+                track = (
+                    self.tracks[int(self._rng.integers(len(self.tracks)))]
+                    if self.augment.source_mixing
+                    else base
+                )
+                targets[b, j] = self._augment(self._excerpt(track, j))
+        mix = targets.sum(axis=1)
+        return mix, targets
+
+
+def train_loop(
+    dataset: StemDataset,
+    model_cfg,
+    train_cfg,
+    steps: int,
+    batch_size: int = 4,
+    params=None,
+    mesh=None,
+    log_every: int = 50,
+    checkpoint_dir: str | None = None,
+):
+    """Reference training loop gluing dataset → batches → sharded steps."""
+    import jax
+
+    from umx_tpu.config import DSPConfig
+    from umx_tpu.models.umx import synthetic_params
+    from umx_tpu.train import (
+        init_train_state,
+        make_batch_from_audio,
+        make_sharded_train_step,
+        make_train_step,
+        save_checkpoint,
+    )
+    from umx_tpu.utils import logging as log
+
+    if params is None:
+        params = synthetic_params(model_cfg, seed=0)
+    state = init_train_state(params, train_cfg)
+
+    if mesh is not None:
+        step, shard_state, shard_batch = make_sharded_train_step(
+            model_cfg, train_cfg, mesh, tp=mesh.shape.get("tp", 1) > 1
+        )
+        state = shard_state(state)
+    else:
+        step = jax.jit(make_train_step(model_cfg, train_cfg), donate_argnums=(0,))
+        shard_batch = lambda b: b  # noqa: E731
+
+    dsp = DSPConfig(sample_rate=dataset.sample_rate)
+    losses = []
+    for i in range(steps):
+        mix, targets = dataset.sample(batch_size)
+        batch = shard_batch(
+            make_batch_from_audio(mix, targets, model_cfg, dsp, train_cfg.seq_len)
+        )
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            log.info(f"step {i + 1}/{steps} loss {np.mean(losses[-log_every:]):.5f}")
+        if checkpoint_dir and (i + 1) % max(1, steps // 5) == 0:
+            save_checkpoint(os.path.join(checkpoint_dir, f"step_{i + 1}"), state)
+    return state, losses
