@@ -1,0 +1,98 @@
+"""HTTP serving tests: drive the real server over a socket."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import zipfile
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from umx_tpu.config import ModelConfig
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+    from umx_tpu.serve import serve
+
+    tmp = tmp_path_factory.mktemp("serve")
+    model_path = str(tmp / "model.bin.gz")
+    write_ggml(model_path, 64, synthetic_state_dicts(ModelConfig(hidden_size=64), 0))
+
+    srv = serve(model_path, port=0, segment_secs=1.0)  # port 0 = ephemeral
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    status, body = _get(server + "/healthz")
+    assert status == 200 and body["status"] == "ok"
+
+
+def test_info(server):
+    status, body = _get(server + "/info")
+    assert status == 200
+    assert body["hidden_size"] == 64
+    assert body["targets"] == ["bass", "drums", "other", "vocals"]
+
+
+def test_demix_round_trip(server):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    wav_buf = io.BytesIO()
+    audio = rng.uniform(-0.5, 0.5, (44100, 2)).astype(np.float32)
+    wavfile.write(wav_buf, 44100, audio)
+
+    req = urllib.request.Request(
+        server + "/demix?shifts=0&wiener=1", data=wav_buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/zip"
+        payload = r.read()
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = sorted(zf.namelist())
+        assert names == [f"target_{i}.wav" for i in range(4)]
+        total = 0
+        for name in names:
+            rate, data = wavfile.read(io.BytesIO(zf.read(name)))
+            assert rate == 44100 and data.shape == (44100, 2)
+            total = total + data.astype(np.float64)
+    # Wiener partition: stems sum back to ~the mix
+    corr = np.corrcoef(total.ravel(), audio.astype(np.float64).ravel())[0, 1]
+    assert corr > 0.98
+
+
+def test_bad_requests(server):
+    # wrong sample rate
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, 48000, np.zeros((1000, 2), np.float32))
+    req = urllib.request.Request(server + "/demix", data=buf.getvalue(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+    # empty body
+    req = urllib.request.Request(server + "/demix", data=b"", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(server + "/nope", timeout=60)
+    assert exc.value.code == 404

@@ -1,0 +1,186 @@
+"""Minimal demixing service.
+
+The reference is a one-shot CLI binary; for production serving this
+module exposes the engine over HTTP (stdlib only):
+
+    python -m umx_tpu.serve <model file> [--port 8765] [--quantized-hbm]
+
+Endpoints:
+    GET  /healthz          -> {"status": "ok", ...}
+    GET  /info             -> model/engine configuration
+    POST /demix            -> body: WAV bytes (44.1 kHz mono/stereo);
+                              response: uncompressed ZIP containing
+                              target_{0..3}.wav
+         ?shifts=0|1&wiener=0|1&seed=N
+
+Requests are served one at a time per device (a lock serializes the
+demix; decoding/encoding runs outside it).  The first request compiles
+the pipeline; use /warmup to pay that cost eagerly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+import time
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class DemixService:
+    def __init__(self, model_path: str, quantized_hbm: bool = False, segment_secs: float = 60.0):
+        import dataclasses
+
+        from umx_tpu.config import EngineConfig, SegmentConfig
+        from umx_tpu.engine.separator import Separator
+
+        cfg = EngineConfig(segment=SegmentConfig(segment_secs=segment_secs))
+        self.separator = Separator.from_ggml(model_path, cfg, quantized_hbm=quantized_hbm)
+        self._dataclasses = dataclasses
+        self._lock = threading.Lock()
+        self.model_path = model_path
+        self.requests_served = 0
+
+    def info(self) -> dict:
+        cfg = self.separator.cfg
+        return {
+            "model": self.model_path,
+            "hidden_size": cfg.model.hidden_size,
+            "targets": ["bass", "drums", "other", "vocals"],
+            "sample_rate": cfg.dsp.sample_rate,
+            "segment_secs": cfg.segment.segment_secs,
+            "requests_served": self.requests_served,
+        }
+
+    def warmup(self) -> float:
+        import numpy as np
+
+        n = self.separator.cfg.segment.segment_samples(44100)
+        t0 = time.perf_counter()
+        with self._lock:
+            self.separator.demix(np.zeros((2, min(n, 44100)), np.float32))
+        return time.perf_counter() - t0
+
+    def demix_wav_bytes(self, wav_bytes: bytes, shifts: int, wiener: bool, seed: int) -> bytes:
+        import tempfile
+
+        import numpy as np
+
+        from umx_tpu.engine.separator import Separator
+        from umx_tpu.io.audio import load_audio, write_audio
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav_bytes)
+            f.flush()
+            audio = load_audio(f.name, self.separator.cfg.dsp.sample_rate)
+
+        cfg = self._dataclasses.replace(
+            self.separator.cfg, shifts=shifts, use_wiener=wiener
+        )
+        sep = Separator(self.separator.params, cfg)
+        with self._lock:
+            stems = sep.demix_track(audio, seed=seed)
+        self.requests_served += 1
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for i in range(stems.shape[0]):
+                import tempfile as tf
+
+                with tf.NamedTemporaryFile(suffix=".wav") as out:
+                    write_audio(out.name, np.asarray(stems[i]))
+                    out.seek(0)
+                    zf.writestr(f"target_{i}.wav", out.read())
+        return buf.getvalue()
+
+
+def make_handler(service: DemixService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif path == "/info":
+                self._json(200, service.info())
+            elif path == "/warmup":
+                self._json(200, {"warmup_s": round(service.warmup(), 2)})
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/demix":
+                self._json(404, {"error": f"unknown path {url.path}"})
+                return
+            q = parse_qs(url.query)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                if length <= 0:
+                    raise ValueError("empty request body; expected WAV bytes")
+                wav = self.rfile.read(length)
+                zip_bytes = service.demix_wav_bytes(
+                    wav,
+                    shifts=int(q.get("shifts", ["1"])[0]),
+                    wiener=q.get("wiener", ["1"])[0] != "0",
+                    seed=int(q.get("seed", ["0"])[0]),
+                )
+            except Exception as e:  # noqa: BLE001 — surface as HTTP error
+                self._json(400, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/zip")
+            self.send_header("Content-Length", str(len(zip_bytes)))
+            self.end_headers()
+            self.wfile.write(zip_bytes)
+
+    return Handler
+
+
+def serve(model_path: str, port: int = 8765, host: str = "127.0.0.1", **kw) -> ThreadingHTTPServer:
+    service = DemixService(model_path, **kw)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service  # type: ignore[attr-defined]
+    return server
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="umx-tpu-serve", description=__doc__)
+    p.add_argument("model_file")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--segment-secs", type=float, default=60.0)
+    p.add_argument("--quantized-hbm", action="store_true")
+    args = p.parse_args(argv)
+
+    server = serve(
+        args.model_file,
+        port=args.port,
+        host=args.host,
+        quantized_hbm=args.quantized_hbm,
+        segment_secs=args.segment_secs,
+    )
+    print(f"umx-tpu serving {args.model_file} on http://{args.host}:{args.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
