@@ -15,6 +15,11 @@ Env knobs:
   UMX_BENCH_DTYPE         (default float32; bfloat16 for the fast path)
   UMX_BENCH_BATCH         (default 1; >1 = B tracks' segments batched,
                            the fleet/serving throughput configuration)
+  UMX_BENCH_QUANTIZED     (default 0; 1 = u8/u16 weights HBM-resident
+                           with dequant fused into the gemms)
+  UMX_BENCH_TRACK_SECS    (default 0; >0 = whole-track mode: demix one
+                           track of this length via the fused scan
+                           program, the bounded-memory long-track config)
   UMX_TPU_MODEL           (optional path to a real ggml file)
 """
 
@@ -56,19 +61,59 @@ def main() -> int:
         compute_dtype=dtype,
     )
 
+    quantized = os.environ.get("UMX_BENCH_QUANTIZED", "0") != "0"
+    track_secs = float(os.environ.get("UMX_BENCH_TRACK_SECS", "0"))
+
     model_path = os.environ.get("UMX_TPU_MODEL")
     if model_path and os.path.exists(model_path):
         from umx_tpu.engine.separator import Separator
 
-        sep = Separator.from_ggml(model_path, cfg)
+        sep = Separator.from_ggml(model_path, cfg, quantized_hbm=quantized)
         params, cfg = sep.params, sep.cfg
+    elif quantized:
+        # quantize synthetic weights through the real ggml format
+        from umx_tpu.io.ggml import read_ggml_bytes, write_ggml_bytes
+        from umx_tpu.models.umx import quantized_params_from_ggml, synthetic_state_dicts
+
+        data = write_ggml_bytes(
+            cfg.model.hidden_size, synthetic_state_dicts(cfg.model, seed=0)
+        )
+        params = quantized_params_from_ggml(
+            read_ggml_bytes(data, keep_quantized=True), cfg.model
+        )
     else:
         params = synthetic_params(cfg.model, seed=0)
 
-    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
     import numpy as np
 
     rng = np.random.default_rng(0)
+
+    if track_secs > 0:
+        # whole-track fused-scan mode (BASELINE config 4: long-track
+        # bounded-memory chunking — 'Georgia Wonder - Siren' scale)
+        from umx_tpu.engine.separator import Separator
+
+        sep = Separator(params, cfg)
+        track = rng.uniform(-0.5, 0.5, (2, int(track_secs * 44100))).astype(np.float32)
+        t0 = time.perf_counter()
+        out = sep.demix(track)
+        _ = float(jnp.sum(out))
+        compile_s = time.perf_counter() - t0
+        print(f"# track compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        out = sep.demix(track)
+        _ = float(jnp.sum(out))
+        wall = time.perf_counter() - t0
+        xrt = track_secs / wall
+        print(json.dumps({
+            "metric": f"xRT_umxl_whole_track_{int(track_secs)}s_fused",
+            "value": round(xrt, 2),
+            "unit": "audio_sec_per_wall_sec",
+            "vs_baseline": round(xrt / 100.0, 4),
+        }))
+        return 0
+
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
     state = init_lstm_state(cfg.model)
     if batch > 1:
         from umx_tpu.engine.separator import _segment_forward_impl
@@ -123,6 +168,8 @@ def main() -> int:
     name = "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment"
     if batch > 1:
         name += f"_batch{batch}"
+    if quantized:
+        name += "_qhbm"
     result = {
         "metric": name,
         "value": round(xrt, 2),
