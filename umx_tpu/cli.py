@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="dispatch one XLA call per segment (per-segment progress) "
         "instead of the fused whole-track program",
     )
+    p.add_argument(
+        "--timings", action="store_true", help="print a per-stage wall-clock table"
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -99,33 +102,40 @@ def _main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
     )
 
+    from umx_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     t0 = time.perf_counter()
-    audio = load_audio(args.wav_file, cfg.dsp.sample_rate)
+    with timer.stage("load_audio"):
+        audio = load_audio(args.wav_file, cfg.dsp.sample_rate)
     log(f"Loaded {args.wav_file}: {audio.shape[1]} samples "
         f"({audio.shape[1] / cfg.dsp.sample_rate:.1f} s)")
 
-    t1 = time.perf_counter()
-    sep = Separator.from_ggml(args.model_file, cfg, quantized_hbm=args.quantized_hbm)
+    with timer.stage("load_model"):
+        sep = Separator.from_ggml(args.model_file, cfg, quantized_hbm=args.quantized_hbm)
     log(f"Loaded model {args.model_file} (hidden_size="
-        f"{sep.cfg.model.hidden_size}) in {time.perf_counter() - t1:.2f} s")
+        f"{sep.cfg.model.hidden_size}) in {timer.totals['load_model']:.2f} s")
 
-    t2 = time.perf_counter()
     progress = None
     if args.host_loop and not args.quiet:
         progress = lambda f: log(f"  demix {f * 100:.0f}%")  # noqa: E731
-    stems = sep.demix_track(
-        audio, seed=args.seed, progress=progress, fused=not args.host_loop
-    )
-    dt = time.perf_counter() - t2
+    with timer.stage("demix"):
+        stems = sep.demix_track(
+            audio, seed=args.seed, progress=progress, fused=not args.host_loop
+        )
+    dt = timer.totals["demix"]
     secs = audio.shape[1] / cfg.dsp.sample_rate
     log(f"Demixed in {dt:.2f} s ({secs / dt:.1f}x realtime)")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    for i in range(stems.shape[0]):
-        path = os.path.join(args.out_dir, f"target_{i}.wav")
-        write_audio(path, stems[i], cfg.dsp.sample_rate)
-        log(f"Wrote {path}")
+    with timer.stage("write_stems"):
+        for i in range(stems.shape[0]):
+            path = os.path.join(args.out_dir, f"target_{i}.wav")
+            write_audio(path, stems[i], cfg.dsp.sample_rate)
+            log(f"Wrote {path}")
     log(f"Total {time.perf_counter() - t0:.2f} s")
+    if args.timings:
+        print(timer.report())
     return 0
 
 

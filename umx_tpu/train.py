@@ -28,7 +28,7 @@ import optax
 
 from umx_tpu.config import ModelConfig
 from umx_tpu.engine.separator import apply_masks
-from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
+from umx_tpu.models.umx import UMXParams, init_lstm_state, umx_forward
 
 Array = jax.Array
 
