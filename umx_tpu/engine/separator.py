@@ -110,26 +110,64 @@ def _demix_fused_impl(
     """
     padded_len = audio_p.shape[-1]
     weight = _transition_weight(seg, cfg.segment.transition_power)
-    init_out = jnp.zeros((cfg.model.n_targets, 2, padded_len), jnp.float32)
-    init_sw = jnp.zeros((padded_len,), jnp.float32)
     zero_state = jax.tree.map(jnp.zeros_like, state)
 
-    def body(carry, i):
-        st, out, sw = carry
-        offset = i * stride
-        chunk = jax.lax.dynamic_slice(audio_p, (0, offset), (2, seg))
+    def body(st, i):
+        chunk = jax.lax.dynamic_slice(audio_p, (0, i * stride), (2, seg))
         chunk_out, new_st = _segment_forward_impl(params, chunk, st, cfg, seg)
-        carry_st = new_st if cfg.segment.streaming else zero_state
-        upd = jax.lax.dynamic_slice(out, (0, 0, offset), (*out.shape[:2], seg))
-        out = jax.lax.dynamic_update_slice(out, upd + weight * chunk_out, (0, 0, offset))
-        sw_upd = jax.lax.dynamic_slice(sw, (offset,), (seg,)) + weight
-        sw = jax.lax.dynamic_update_slice(sw, sw_upd, (offset,))
-        return (carry_st, out, sw), None
+        return (new_st if cfg.segment.streaming else zero_state), weight * chunk_out
 
-    (final_state, out, sw), _ = jax.lax.scan(
-        body, (state, init_out, init_sw), jnp.arange(n_chunks)
+    # The scan emits stacked weighted chunk outputs; carrying the big
+    # overlap-add buffers through the scan instead costs a full-buffer
+    # copy per iteration (~0.5 GB/segment at 60 s — measured 7x slowdown).
+    final_state, ys = jax.lax.scan(body, state, jnp.arange(n_chunks))
+    # ys: (n_chunks, T#, 2, seg)
+
+    out = _overlap_add_chunks(ys, stride, padded_len)
+    sw = _overlap_add_chunks(
+        jnp.broadcast_to(weight, (n_chunks, seg)), stride, padded_len
     )
     return out / sw, final_state
+
+
+def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
+    """Overlap-add chunks ``(n_chunks, ..., seg)`` at offsets ``k*stride``
+    without scatter ops.
+
+    For overlap ≤ 50% (seg - stride ≤ stride, true for the 25% default)
+    each chunk splits at the stride boundary: the head pieces tile the
+    output directly, and the tails (zero-padded to one stride) land one
+    stride later — two vectorized adds total.  Falls back to a fori_loop
+    of dynamic updates for exotic overlaps.
+    """
+    n_chunks, *mid, seg = ys.shape
+    tail_len = seg - stride
+    if tail_len > stride:
+        def add(k, acc):
+            upd = jax.lax.dynamic_slice(
+                acc, (0,) * (acc.ndim - 1) + (k * stride,), (*mid, seg)
+            )
+            return jax.lax.dynamic_update_slice(
+                acc, upd + ys[k], (0,) * (acc.ndim - 1) + (k * stride,)
+            )
+
+        init = jnp.zeros((*mid, padded_len), ys.dtype)
+        return jax.lax.fori_loop(0, n_chunks, add, init)
+
+    # heads: (n_chunks, ..., stride) -> (..., n_chunks*stride)
+    heads = jnp.moveaxis(ys[..., :stride], 0, -2).reshape(*mid, n_chunks * stride)
+    # tails land at (k+1)*stride; pad each to a full stride then shift.
+    # The extended buffer absorbs the last tail's padding; trimmed after.
+    tails = ys[..., stride:]
+    tails = jnp.pad(
+        tails, [(0, 0)] * (tails.ndim - 1) + [(0, stride - tail_len)]
+    )
+    tails = jnp.moveaxis(tails, 0, -2).reshape(*mid, n_chunks * stride)
+    ext = (n_chunks + 1) * stride
+    out = jnp.zeros((*mid, ext), ys.dtype)
+    out = out.at[..., : n_chunks * stride].add(heads)
+    out = out.at[..., stride : (n_chunks + 1) * stride].add(tails)
+    return out[..., :padded_len]
 
 
 demix_fused = jax.jit(
