@@ -134,6 +134,18 @@ def test_fused_matches_host_loop_no_streaming(cfg, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+def test_multi_shift_averaging(cfg, audio):
+    params = synthetic_params(cfg.model, seed=0)
+    s2 = Separator(params, dataclasses.replace(cfg, shifts=2))
+    out2 = s2.demix_track(audio[:, :44100], seed=5)
+    assert out2.shape == (4, 2, 44100)
+    assert np.isfinite(out2).all()
+    # averaging N shifted passes must differ from a single pass
+    s1 = Separator(params, dataclasses.replace(cfg, shifts=1))
+    out1 = s1.demix_track(audio[:, :44100], seed=5)
+    assert not np.allclose(out1, out2)
+
+
 def test_mono_input_duplicated(tmp_path):
     from scipy.io import wavfile
 

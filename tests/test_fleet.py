@@ -62,3 +62,14 @@ def test_fleet_with_shifts(cfg, params, tracks):
     for seed, track, out in zip([1, 2, 3], tracks[:3], outs):
         ref = sep.demix_track(track, seed=seed)
         np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_fleet_multi_shift_matches_per_track(cfg, params, tracks):
+    import dataclasses
+
+    c = dataclasses.replace(cfg, shifts=2)
+    outs = demix_tracks(params, tracks[:2], c, seeds=[4, 5])
+    sep = Separator(params, c)
+    for seed, track, out in zip([4, 5], tracks[:2], outs):
+        ref = sep.demix_track(track, seed=seed)
+        np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -25,7 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-wiener", action="store_true", help="skip the Wiener-EM post-filter")
     p.add_argument("--wiener-iters", type=int, default=1, help="Wiener EM iterations")
     p.add_argument("--no-streaming", action="store_true", help="reset LSTM state per segment")
-    p.add_argument("--shifts", type=int, default=1, help="Demucs shift trick count (0 or 1)")
+    p.add_argument(
+        "--shifts", type=int, default=1,
+        help="Demucs shift-trick passes to average (0 disables; reference supports only 1)",
+    )
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for the shift trick")
     p.add_argument("--segment-secs", type=float, default=60.0, help="segment length (s)")
     p.add_argument("--overlap", type=float, default=0.25, help="segment overlap fraction")

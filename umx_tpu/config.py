@@ -134,8 +134,9 @@ class EngineConfig:
     # Apply the Wiener-EM post-filter (reference always does when built with
     # it; the original release ran without it, README.md:38-44).
     use_wiener: bool = True
-    # Number of random shifts for the Demucs time-equivariance trick
-    # (reference supports exactly shifts=1, umx.cpp:99-150; 0 disables).
+    # Number of random-shift passes to average for the Demucs
+    # time-equivariance trick (0 disables; the reference supports exactly
+    # 1, umx.cpp:99-150; N>1 averages N passes per upstream Demucs).
     shifts: int = 1
     # Compute dtype for the network matmuls. float32 preserves SDR parity;
     # bfloat16 doubles MXU throughput (validate SDR before enabling).

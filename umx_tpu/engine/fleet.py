@@ -61,49 +61,66 @@ def demix_tracks(
     if seeds is None:
         seeds = list(range(len(tracks)))
 
-    # host-side shift padding (the Demucs shift trick, umx.cpp:99-150),
-    # then bucket by chunk count so each bucket is one compiled shape
-    prepared = []
-    for i, (track, seed) in enumerate(zip(tracks, seeds)):
-        track = np.asarray(track, np.float32)
-        length = track.shape[1]
-        offset = 0
+    # per-track offset sequences drawn exactly like Separator.demix_track
+    # (sequential draws from one per-track PRNG), so fleet results equal
+    # per-track results for any shift count
+    n_passes = max(1, cfg.shifts)
+    track_offsets = []
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
         if cfg.shifts > 0:
-            offset = int(np.random.default_rng(seed).integers(0, max_shift))
-            track = np.pad(track, ((0, 0), (offset, max_shift - offset)))
-        shifted_len = track.shape[1]
-        n_chunks = max(1, math.ceil(shifted_len / stride))
-        padded_len = (n_chunks - 1) * stride + seg
-        track = np.pad(track, ((0, 0), (0, padded_len - shifted_len)))
-        prepared.append((i, offset, length, n_chunks, track))
-
-    buckets: dict[int, list] = defaultdict(list)
-    for item in prepared:
-        buckets[item[3]].append(item)
-
-    results: list[np.ndarray | None] = [None] * len(tracks)
-    for n_chunks, items in sorted(buckets.items()):
-        fn = _batched_demix(cfg, n_chunks, seg, stride)
-        # pad the batch to a multiple of dp with silent tracks
-        batch = [it[4] for it in items]
-        while len(batch) % dp:
-            batch.append(np.zeros_like(batch[0]))
-        audio_b = jnp.asarray(np.stack(batch))
-        st = init_lstm_state(cfg.model)
-        states = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (len(batch), *x.shape)), st
-        )
-        if mesh is not None:
-            sh = NamedSharding(mesh, P("dp"))
-            audio_b = jax.device_put(audio_b, sh)
-            states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
-            params_r = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+            track_offsets.append(
+                [int(rng.integers(0, max_shift)) for _ in range(n_passes)]
             )
         else:
-            params_r = params
-        out_b, _ = fn(params_r, audio_b, states)
-        out_b = np.asarray(out_b)
-        for (idx, offset, length, _, _), out in zip(items, out_b):
-            results[idx] = out[..., offset : offset + length]
+            track_offsets.append([0] * n_passes)
+
+    results: list[np.ndarray | None] = [None] * len(tracks)
+    for p in range(n_passes):
+        # host-side shift padding (the Demucs shift trick, umx.cpp:99-150),
+        # then bucket by chunk count so each bucket is one compiled shape
+        prepared = []
+        for i, track in enumerate(tracks):
+            track = np.asarray(track, np.float32)
+            length = track.shape[1]
+            offset = track_offsets[i][p]
+            if cfg.shifts > 0:
+                track = np.pad(track, ((0, 0), (offset, max_shift - offset)))
+            shifted_len = track.shape[1]
+            n_chunks = max(1, math.ceil(shifted_len / stride))
+            padded_len = (n_chunks - 1) * stride + seg
+            track = np.pad(track, ((0, 0), (0, padded_len - shifted_len)))
+            prepared.append((i, offset, length, n_chunks, track))
+
+        buckets: dict[int, list] = defaultdict(list)
+        for item in prepared:
+            buckets[item[3]].append(item)
+
+        for n_chunks, items in sorted(buckets.items()):
+            fn = _batched_demix(cfg, n_chunks, seg, stride)
+            # pad the batch to a multiple of dp with silent tracks
+            batch = [it[4] for it in items]
+            while len(batch) % dp:
+                batch.append(np.zeros_like(batch[0]))
+            audio_b = jnp.asarray(np.stack(batch))
+            st = init_lstm_state(cfg.model)
+            states = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (len(batch), *x.shape)), st
+            )
+            if mesh is not None:
+                sh = NamedSharding(mesh, P("dp"))
+                audio_b = jax.device_put(audio_b, sh)
+                states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
+                params_r = jax.tree.map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+                )
+            else:
+                params_r = params
+            out_b, _ = fn(params_r, audio_b, states)
+            out_b = np.asarray(out_b)
+            for (idx, offset, length, _, _), out in zip(items, out_b):
+                contrib = out[..., offset : offset + length] / n_passes
+                results[idx] = (
+                    contrib if results[idx] is None else results[idx] + contrib
+                )
     return results  # type: ignore[return-value]

@@ -303,10 +303,12 @@ class Separator:
     def demix_track(self, audio, seed: int = 0, progress=None, fused: bool | None = None) -> np.ndarray:
         """Full track demix with the Demucs random-shift trick.
 
-        Matches the reference contract: shifts ∈ {0, 1}; the input is
-        front-padded by a random offset in [0, 0.5 s) and the output
-        trimmed back (umx.cpp:99-150), which makes the segmentation grid
-        time-equivariant.
+        The input is front-padded by a random offset in [0, 0.5 s) and
+        the output trimmed back (umx.cpp:99-150), making the
+        segmentation grid time-equivariant.  The reference supports
+        exactly shifts=1 with an unseeded rand(); here shifts=N averages
+        N independently-shifted passes (the full Demucs semantics, which
+        buys up to ~0.2 dB SDR) with a seedable PRNG.
         """
         cfg = self.cfg
         audio = np.asarray(audio, np.float32)
@@ -315,7 +317,12 @@ class Separator:
             return np.asarray(self.demix(audio, progress=progress, fused=fused))
 
         max_shift = cfg.segment.max_shift_samples(cfg.dsp.sample_rate)
-        offset = int(np.random.default_rng(seed).integers(0, max_shift))
-        shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
-        out = self.demix(shifted, progress=progress, fused=fused)
-        return np.asarray(out)[..., offset : offset + length]
+        rng = np.random.default_rng(seed)
+        acc = None
+        for s in range(cfg.shifts):
+            offset = int(rng.integers(0, max_shift))
+            shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
+            out = np.asarray(self.demix(shifted, progress=progress, fused=fused))
+            out = out[..., offset : offset + length]
+            acc = out if acc is None else acc + out
+        return acc / cfg.shifts
