@@ -126,6 +126,22 @@ def test_streaming_matches_torch_two_chunk_forward(cfg, state_dicts, params, x):
                 )
 
 
+@pytest.mark.slow
+def test_umxl_scale_parity():
+    """Golden parity at the real UMX-L size (hidden=1024, 2974->1024
+    fc1, 3x bidir LSTM 1024->512, 4098-dim masks) — catches any
+    shape-threading bug the hidden=64 tests can't see."""
+    cfg = ModelConfig(hidden_size=1024)
+    sds = synthetic_state_dicts(cfg, seed=77)
+    params = params_from_ggml(GGMLModel(cfg.hidden_size, sds), cfg)
+    rng = np.random.default_rng(78)
+    x = (np.abs(rng.standard_normal((20, cfg.n_features))) * 0.3).astype(np.float32)
+    masks, _ = umx_forward(params, jnp.asarray(x), init_lstm_state(cfg), cfg)
+    ref = torch_oracle.oracle_masks(sds, x, cfg.hidden_size)
+    assert masks.shape == (4, 20, 4098)
+    np.testing.assert_allclose(np.asarray(masks), ref, atol=5e-4, rtol=2e-3)
+
+
 def test_vmap_matches_single_target(cfg, state_dicts, params, x):
     # the vmapped all-targets forward must equal running each target alone
     import jax

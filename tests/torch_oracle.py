@@ -78,6 +78,47 @@ class TorchUMX(nn.Module):
         return torch.relu(x).reshape(T, -1)
 
 
+@torch.no_grad()
+def oracle_intermediates(
+    model: TorchUMX, x: torch.Tensor, input_scaling: str = "openunmix"
+) -> dict[str, np.ndarray]:
+    """Per-stage activations for layer-parity testing (automates the
+    reference's print-and-diff methodology, README.md:229-247)."""
+    model.eval()
+    out = {}
+    mean = torch.cat([model.input_mean, model.input_mean])
+    scale = torch.cat([model.input_scale, model.input_scale])
+    h = (x + mean) * scale if input_scaling == "openunmix" else x * scale + mean
+    out["input_scaled"] = h.numpy().copy()
+    h = torch.tanh(model.bn1(model.fc1(h)))
+    out["bn1_tanh"] = h.numpy().copy()
+    lstm_in = h.unsqueeze(1)
+    for layer in range(3):
+        # run the stacked LSTM one layer at a time by slicing its weights
+        l = torch.nn.LSTM(
+            input_size=lstm_in.shape[-1],
+            hidden_size=model.hidden_size // 2,
+            num_layers=1,
+            bidirectional=True,
+        )
+        for kind in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+            for rev in ("", "_reverse"):
+                getattr(l, f"{kind}_l0{rev}").data.copy_(
+                    getattr(model.lstm, f"{kind}_l{layer}{rev}")
+                )
+        lstm_in, _ = l(lstm_in)
+        out[f"lstm_l{layer}"] = lstm_in.squeeze(1).numpy().copy()
+    z = torch.cat([h, lstm_in.squeeze(1)], dim=-1)
+    z = torch.relu(model.bn2(model.fc2(z)))
+    out["bn2_relu"] = z.numpy().copy()
+    z = model.bn3(model.fc3(z))
+    out["bn3"] = z.numpy().copy()
+    out_scale = torch.cat([model.output_scale, model.output_scale])
+    out_mean = torch.cat([model.output_mean, model.output_mean])
+    out["mask"] = torch.relu(z * out_scale + out_mean).numpy().copy()
+    return out
+
+
 def oracle_masks(
     state_dicts: dict[str, dict[str, np.ndarray]],
     x: np.ndarray,
