@@ -30,6 +30,7 @@ def main(argv=None) -> int:
     p.add_argument("track_dir", type=Path, help="MUSDB track dir with <stem>.wav files")
     p.add_argument("--win", type=float, default=1.0, help="window seconds")
     p.add_argument("--flen", type=int, default=512, help="projection filter length")
+    p.add_argument("--json", type=Path, default=None, help="also write results as JSON")
     args = p.parse_args(argv)
 
     from umx_tpu.eval.bss import bss_eval_images_framewise
@@ -52,6 +53,19 @@ def main(argv=None) -> int:
             f"{t:<8} {res['median_SDR'][j]:>8.3f} {res['median_ISR'][j]:>8.3f} "
             f"{res['median_SIR'][j]:>8.3f} {res['median_SAR'][j]:>8.3f}"
         )
+
+    if args.json:
+        import json
+
+        payload = {
+            t: {
+                m: float(res[f"median_{m}"][j])
+                for m in ("SDR", "ISR", "SIR", "SAR")
+            }
+            for j, t in enumerate(TARGETS)
+        }
+        args.json.write_text(json.dumps(payload, indent=2))
+        print(f"wrote {args.json}")
     return 0
 
 
