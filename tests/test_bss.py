@@ -67,6 +67,35 @@ def test_filtered_estimate_forgiven_by_projection(sources):
     assert isr[0] < sar[0]
 
 
+def test_batched_solver_matches_per_window(sources):
+    from umx_tpu.eval.bss import bss_eval_window_batch
+
+    rng = np.random.default_rng(64)
+    est = sources + 0.05 * rng.standard_normal(sources.shape)
+    W = 2
+    refs_w = np.stack([sources[..., :4000], sources[..., 4000:8000]])
+    ests_w = np.stack([est[..., :4000], est[..., 4000:8000]])
+    batched = bss_eval_window_batch(refs_w, ests_w, flen=16)
+    for w in range(W):
+        single = bss_eval_window(refs_w[w], ests_w[w], flen=16)
+        for m_b, m_s in zip(batched, single):
+            # f32 device solves vs f64 CPU solves: sub-0.1 dB agreement
+            np.testing.assert_allclose(m_b[w], m_s, atol=0.1)
+
+
+def test_framewise_jax_accelerator_matches_numpy(sources):
+    rng = np.random.default_rng(65)
+    est = sources + 0.05 * rng.standard_normal(sources.shape)
+    a = bss_eval_images_framewise(
+        sources, est, window=4000, hop=4000, flen=16, accelerator="numpy"
+    )
+    b = bss_eval_images_framewise(
+        sources, est, window=4000, hop=4000, flen=16, accelerator="jax"
+    )
+    np.testing.assert_allclose(a["median_SDR"], b["median_SDR"], atol=0.1)
+    np.testing.assert_allclose(a["median_SIR"], b["median_SIR"], atol=0.3)
+
+
 def test_framewise_shapes_and_median(sources):
     J, C, T = sources.shape
     est = sources + 0.01 * np.random.default_rng(63).standard_normal(sources.shape)

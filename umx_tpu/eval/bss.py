@@ -137,34 +137,146 @@ def bss_eval_window(references: np.ndarray, estimates: np.ndarray, flen: int = 5
     return sdr, isr, sir, sar
 
 
+def _solve_cholesky_batched(Gs: np.ndarray, Bs: np.ndarray) -> np.ndarray:
+    """Batched SPD solves on the default JAX device: Gs (W, N, N),
+    Bs (W, N, M) → (W, N, M).  The N=J*C*flen=4096 factorizations are
+    the evaluator's hot spot (museval grinds them one by one on CPU);
+    here they run batched on the TPU's MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def solve(G, B):
+        L = jnp.linalg.cholesky(G)
+        y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), y, lower=False
+        )
+
+    return np.asarray(solve(jnp.asarray(Gs, jnp.float32), jnp.asarray(Bs, jnp.float32)))
+
+
+def bss_eval_window_batch(references, estimates, flen: int = 512):
+    """bss_eval_images for a BATCH of windows with all linear solves
+    executed as one batched device call.
+
+    references, estimates: (W, J, C, n).  Returns (SDR, ISR, SIR, SAR)
+    arrays of shape (W, J)."""
+    W, J, C, n = references.shape
+    K = J * C * flen
+
+    Gs = np.empty((W, K, K), np.float64)
+    # per-window, per-estimate right-hand sides: all sources' cross terms
+    # (the per-source sub-problem reuses rows of the same RHS)
+    d_all = np.empty((W, K, J * C), np.float64)
+    for w in range(W):
+        refs = references[w].reshape(J * C, n)
+        G = _correlations(refs, flen)
+        G[np.diag_indices_from(G)] += 1e-9 * max(1.0, np.trace(G) / K)
+        Gs[w] = G
+        for j in range(J):
+            d_all[w, :, j * C : (j + 1) * C] = _cross_terms(refs, estimates[w, j], flen)
+
+    h_all = _solve_cholesky_batched(Gs, d_all)  # (W, K, J*C)
+
+    # per-source sub-Gram solves, batched as (W*J)
+    sub = C * flen
+    Gsub = np.empty((W * J, sub, sub), np.float64)
+    dsub = np.empty((W * J, sub, C), np.float64)
+    for w in range(W):
+        for j in range(J):
+            sl = slice(j * sub, (j + 1) * sub)
+            Gsub[w * J + j] = Gs[w][sl, sl]
+            dsub[w * J + j] = d_all[w, sl, j * C : (j + 1) * C]
+    h_sub = _solve_cholesky_batched(Gsub, dsub)
+
+    sdr = np.empty((W, J))
+    isr = np.empty((W, J))
+    sir = np.empty((W, J))
+    sar = np.empty((W, J))
+    for w in range(W):
+        refs_all = references[w].reshape(J * C, n)
+        for j in range(J):
+            e = estimates[w, j]
+            p_all = _project(refs_all, h_all[w, :, j * C : (j + 1) * C], flen, n)
+            p_j = _project(references[w, j], h_sub[w * J + j], flen, n)
+            s_true = references[w, j]
+            e_spat = p_j - s_true
+            e_interf = p_all - p_j
+            e_artif = e - p_all
+            s2 = float(np.sum(s_true**2))
+            sdr[w, j] = _db(s2, float(np.sum((e_spat + e_interf + e_artif) ** 2)))
+            isr[w, j] = _db(s2, float(np.sum(e_spat**2)))
+            sir[w, j] = _db(
+                float(np.sum((s_true + e_spat) ** 2)), float(np.sum(e_interf**2))
+            )
+            sar[w, j] = _db(
+                float(np.sum((s_true + e_spat + e_interf) ** 2)),
+                float(np.sum(e_artif**2)),
+            )
+    return sdr, isr, sir, sar
+
+
 def bss_eval_images_framewise(
     references: np.ndarray,
     estimates: np.ndarray,
     window: int = 44100,
     hop: int = 44100,
     flen: int = 512,
+    accelerator: str = "auto",
 ):
     """Framewise bss_eval over non-overlapping windows (museval v4
     convention: 1 s windows, median aggregation, silent frames skipped).
 
     references, estimates: (J, C, T).  Returns dict with per-frame
     arrays (J, n_frames) and per-source medians (J,).
+
+    ``accelerator="jax"`` batches all windows' linear solves on the
+    default JAX device (float32 — ~0.01 dB-level differences vs the
+    float64 CPU path); "numpy" solves window-by-window in float64;
+    "auto" picks jax when a non-CPU backend is available.
     """
     J, C, T = references.shape
     assert estimates.shape == references.shape
-    frames = []
+
+    if accelerator == "auto":
+        try:
+            import jax
+
+            accelerator = "jax" if jax.default_backend() != "cpu" else "numpy"
+        except Exception:
+            accelerator = "numpy"
+
+    spans = []
     pos = 0
     while pos + window <= T or (pos == 0 and T > 0):
         end = min(T, pos + window)
-        ref_w = references[..., pos:end]
-        est_w = estimates[..., pos:end]
-        if np.any(np.sum(ref_w**2, axis=(1, 2)) < 1e-12):
-            frames.append(np.full((4, J), np.nan))
-        else:
-            frames.append(np.stack(bss_eval_window(ref_w, est_w, flen)))
+        spans.append((pos, end))
         pos += hop
         if pos + window > T and pos < T and end == T:
             break
+
+    frames = [None] * len(spans)
+    batch_idx, batch_ref, batch_est = [], [], []
+    for i, (pos, end) in enumerate(spans):
+        ref_w = references[..., pos:end]
+        est_w = estimates[..., pos:end]
+        if np.any(np.sum(ref_w**2, axis=(1, 2)) < 1e-12):
+            frames[i] = np.full((4, J), np.nan)
+        elif accelerator == "jax" and end - pos == window:
+            batch_idx.append(i)
+            batch_ref.append(ref_w)
+            batch_est.append(est_w)
+        else:
+            frames[i] = np.stack(bss_eval_window(ref_w, est_w, flen))
+
+    if batch_idx:
+        res = bss_eval_window_batch(
+            np.stack(batch_ref), np.stack(batch_est), flen
+        )  # 4 x (W, J)
+        for k, i in enumerate(batch_idx):
+            frames[i] = np.stack([res[0][k], res[1][k], res[2][k], res[3][k]])
+
     all_frames = np.stack(frames, axis=-1)  # (4, J, n_frames)
     med = np.nanmedian(all_frames, axis=-1)
     return {
