@@ -39,6 +39,9 @@ class StemDataset:
     sample_rate: int = 44100
     augment: AugmentConfig = field(default_factory=AugmentConfig)
     seed: int = 0
+    # decoded-track memo bound (a full MUSDB train set decoded is ~30 GB;
+    # evict oldest beyond this many tracks)
+    max_cached_tracks: int = 16
 
     def __post_init__(self):
         self.tracks = sorted(
@@ -57,7 +60,7 @@ class StemDataset:
         self._cache: dict[str, np.ndarray] = {}
 
     def _load_stems(self, track: str) -> np.ndarray:
-        """(T#, 2, n) float32, memoized."""
+        """(T#, 2, n) float32, memoized (bounded LRU)."""
         if track not in self._cache:
             from umx_tpu.io.audio import load_audio
 
@@ -66,7 +69,11 @@ class StemDataset:
                 for t in TARGETS
             ]
             n = min(s.shape[1] for s in stems)
+            while len(self._cache) >= self.max_cached_tracks:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[track] = np.stack([s[:, :n] for s in stems])
+        else:
+            self._cache[track] = self._cache.pop(track)  # LRU touch
         return self._cache[track]
 
     def _excerpt(self, track: str, target_idx: int) -> np.ndarray:
