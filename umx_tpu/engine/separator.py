@@ -177,6 +177,57 @@ demix_fused = jax.jit(
 )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch")
+)
+def demix_fused_parallel(
+    params: UMXParams,
+    audio_p: Array,
+    cfg: EngineConfig,
+    n_chunks: int,
+    seg: int,
+    stride: int,
+    chunk_batch: int = 4,
+) -> Array:
+    """Whole-track demix with segments processed in PARALLEL batches.
+
+    Only valid for non-streaming configs (LSTM state resets per segment,
+    the reference's original-release behavior, README.md:38-44): without
+    the cross-segment carry every segment is independent, and batching
+    them amortizes the BLSTM's dependent-matmul latency floor — which is
+    independent of batch width (PERF.md microbenchmark) — across the
+    whole track.  Segments run in groups of ``chunk_batch`` to bound the
+    Wiener stage's memory.
+    """
+    assert not cfg.segment.streaming, "parallel segments require streaming=False"
+    padded_len = audio_p.shape[-1]
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    state = init_lstm_state(cfg.model)
+
+    n_groups = -(-n_chunks // chunk_batch)
+    ys = []
+    for g in range(n_groups):
+        idx = [min(g * chunk_batch + b, n_chunks - 1) for b in range(chunk_batch)]
+        chunks = jnp.stack(
+            [
+                jax.lax.dynamic_slice(audio_p, (0, k * stride), (2, seg))
+                for k in idx
+            ]
+        )
+        outs, _ = jax.vmap(
+            lambda a: _segment_forward_impl(params, a, state, cfg, seg)
+        )(chunks)
+        keep = n_chunks - g * chunk_batch
+        ys.append(outs[: min(chunk_batch, keep)])
+    ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
+
+    out = _overlap_add_chunks(ys, stride, padded_len)
+    sw = _overlap_add_chunks(
+        jnp.broadcast_to(weight, (n_chunks, seg)), stride, padded_len
+    )
+    return out / sw
+
+
 @functools.partial(jax.jit, static_argnames=("segment_samples", "power"))
 def _transition_weight(segment_samples: int, power: float) -> Array:
     """Demucs triangular cross-fade weight (umx.cpp:196-206)."""
@@ -277,7 +328,15 @@ class Separator:
             )
 
         if fused:
-            out, _ = demix_fused(self.params, audio_p, state, cfg, n_chunks, seg, stride)
+            if not cfg.segment.streaming:
+                # independent segments -> batch them through the LSTM
+                out = demix_fused_parallel(
+                    self.params, audio_p, cfg, n_chunks, seg, stride
+                )
+            else:
+                out, _ = demix_fused(
+                    self.params, audio_p, state, cfg, n_chunks, seg, stride
+                )
             if progress is not None:
                 progress(1.0)
             return out[..., :length]
