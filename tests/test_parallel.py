@@ -47,6 +47,19 @@ def test_dp_batch_matches_single_device(cfg, params):
         np.testing.assert_allclose(out_b[i], np.asarray(ref), atol=2e-4)
 
 
+def test_tp4_full_target_sharding(cfg, params):
+    # one target per chip pair: 2x4 mesh, target axis fully sharded
+    mesh = make_mesh(dp=2, tp=4)
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    rng = np.random.default_rng(55)
+    batch = rng.uniform(-0.5, 0.5, (2, 2, n)).astype(np.float32)
+    states = batched_lstm_state(cfg, 2)
+    out_b, _ = demix_segments_batch(params, batch, states, cfg, mesh, tp=True)
+    st0 = init_lstm_state(cfg.model)
+    ref, _ = segment_forward(params, jnp.asarray(batch[0]), st0, cfg, n)
+    np.testing.assert_allclose(np.asarray(out_b)[0], np.asarray(ref), atol=2e-4)
+
+
 def test_dp_tp_mesh_demix(cfg, params):
     # 4x2 mesh: tracks over dp, targets over tp
     mesh = make_mesh(dp=4, tp=2)

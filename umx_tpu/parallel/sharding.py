@@ -44,14 +44,18 @@ def demix_segments_batch(
     states: LSTMState,  # leading batch axis on h/c
     cfg: EngineConfig,
     mesh: Mesh,
+    tp: bool = False,
 ):
     """Demix a batch of independent segments, sharded over the mesh's dp
-    axis.  Returns ((B, T#, 2, n), new states)."""
+    axis; with ``tp`` the stacked target axis of the weights is sharded
+    over the tp axis as well (model parallel — XLA all-gathers the tiny
+    per-target masks where they combine).  Returns ((B, T#, 2, n), new
+    states)."""
     n_samples = audio_batch.shape[-1]
     dp = NamedSharding(mesh, P("dp"))
     audio_batch = jax.device_put(jnp.asarray(audio_batch, jnp.float32), dp)
     states = jax.tree.map(lambda x: jax.device_put(x, dp), states)
-    params = shard_params(params, mesh)
+    params = shard_params(params, mesh, tp=tp)
     return _batched_segment_forward(params, audio_batch, states, cfg, n_samples)
 
 
