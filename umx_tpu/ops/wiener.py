@@ -36,17 +36,6 @@ from umx_tpu.ops.stft import polar_to_complex
 Array = jax.Array
 
 
-def _invert2x2(m: Array) -> Array:
-    """Analytic inverse of (..., 2, 2) complex matrices (wiener.cpp:54-84)."""
-    a, b = m[..., 0, 0], m[..., 0, 1]
-    c, d = m[..., 1, 0], m[..., 1, 1]
-    det = a * d - b * c
-    inv_det = jnp.conj(det) / (det.real * det.real + det.imag * det.imag)
-    row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
-    row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
-
-
 def wiener_filter(
     mix_stft: Array,
     target_mags: Array,
@@ -56,45 +45,60 @@ def wiener_filter(
 
     mix_stft: complex (2, T, F); target_mags: float (S, 2, T, F).
     Returns complex (S, 2, T, F).
-    """
-    n_sources = target_mags.shape[0]
 
-    # (T, F, C) / (T, F, C, S) layouts for channel-covariance einsums
-    x = jnp.transpose(mix_stft, (1, 2, 0))
-    y = jnp.transpose(polar_to_complex(target_mags, mix_stft[None]), (2, 3, 1, 0))
+    Layout note: everything stays in (..., T, F) with the frequency axis
+    minor — F=2049 fills the TPU's 128-wide lanes, whereas the naive
+    (T, F, channel, source) layout puts a size-2/4 axis in the lanes and
+    wastes 32-64x of every elementwise op.  The channel/source axes live
+    as leading (mapped) dimensions; the tiny 2x2 channel algebra is
+    unrolled.
+    """
+    # (S, C, T, F) — the natural input layout, kept throughout
+    x = mix_stft  # (C, T, F)
+    y = polar_to_complex(target_mags, mix_stft[None])  # (S, C, T, F)
 
     max_abs = jnp.maximum(1.0, jnp.max(jnp.abs(x)) / cfg.scale_factor)
     x = x / max_abs
     y = y / max_abs
 
     def em_iteration(y):
-        # Source PSD v: (T, F, S)
+        # Source PSD v: (S, T, F)
         if cfg.psd == "umxcpp":
             s = y.real + y.imag
-            v = jnp.mean(s * s, axis=2)
+            v = jnp.mean(s * s, axis=1)
         else:
-            v = jnp.mean(y.real * y.real + y.imag * y.imag, axis=2)
+            v = jnp.mean(y.real * y.real + y.imag * y.imag, axis=1)
 
-        # Spatial covariance R: (F, S, C, C), time-normalized by Σ_t v
-        weight = cfg.eps + jnp.sum(v, axis=0)  # (F, S)
-        R = jnp.einsum("tfcs,tfds->fscd", y, jnp.conj(y)) / weight[..., None, None]
+        # Spatial covariance R: (S, C, C', F), time-normalized by Σ_t v
+        weight = cfg.eps + jnp.sum(v, axis=1)  # (S, F)
+        R = jnp.einsum("sctf,sdtf->scdf", y, jnp.conj(y)) / weight[:, None, None, :]
 
-        # Mix covariance and its inverse: (T, F, C, C)
-        reg = jnp.sqrt(cfg.eps) * jnp.eye(2, dtype=y.dtype)
-        Cxx = reg + jnp.einsum("tfs,fscd->tfcd", v, R)
-        inv_Cxx = _invert2x2(Cxx)
+        # Mix covariance Cxx (C, C', T, F) = reg·I + Σ_s v_s R_s
+        reg = jnp.sqrt(cfg.eps)
+        Cxx = jnp.einsum("stf,scdf->cdtf", v, R)
+        Cxx = Cxx.at[0, 0].add(reg).at[1, 1].add(reg)
 
-        # New estimates.  The Wiener gain G_j = v_j R_j Cxx^-1 applied to
-        # x factorizes: y_j(c) = v_j Σ_k R_j(c,k) [Cxx^-1 x](k), and
-        # z = Cxx^-1 x is SOURCE-INDEPENDENT — computing it once replaces
-        # four (T, F, 2, 2) gain materializations with one (T, F, 2)
-        # solve-product (≈3x less HBM traffic in the EM update).
-        z = jnp.einsum("tfkd,tfd->tfk", inv_Cxx, x)
-        y_new = jnp.einsum("fsck,tfk->tfcs", R, z) * v[:, :, None, :]
+        # analytic 2x2 inverse, unrolled on (T, F) planes
+        # (wiener.cpp:54-84)
+        a, b, c, d = Cxx[0, 0], Cxx[0, 1], Cxx[1, 0], Cxx[1, 1]
+        det = a * d - b * c
+        inv_det = jnp.conj(det) / (det.real * det.real + det.imag * det.imag)
+        inv = jnp.stack(
+            [
+                jnp.stack([d * inv_det, -b * inv_det]),
+                jnp.stack([-c * inv_det, a * inv_det]),
+            ]
+        )  # (K, D, T, F)
+
+        # z = Cxx^-1 x is SOURCE-INDEPENDENT: the Wiener gain
+        # G_j = v_j R_j Cxx^-1 applied to x factorizes as
+        # y_j(c) = v_j Σ_k R_j(c,k) z(k), avoiding per-source gain
+        # matrices entirely.
+        z = jnp.einsum("kdtf,dtf->ktf", inv, x)
+        y_new = jnp.einsum("sckf,ktf->sctf", R, z) * v[:, None]
         return y_new
 
     for _ in range(cfg.iterations):
         y = em_iteration(y)
 
-    y = y * max_abs
-    return jnp.transpose(y, (3, 2, 0, 1)).reshape(n_sources, *mix_stft.shape)
+    return y * max_abs
