@@ -146,6 +146,23 @@ def test_multi_shift_averaging(cfg, audio):
     assert not np.allclose(out1, out2)
 
 
+def test_resample_option(tmp_path):
+    from scipy.io import wavfile
+
+    from umx_tpu.io.audio import UnsupportedAudio, load_audio
+
+    rng = np.random.default_rng(43)
+    n48 = 48000
+    wav = rng.uniform(-0.5, 0.5, (n48, 2)).astype(np.float32)
+    path = str(tmp_path / "x48.wav")
+    wavfile.write(path, 48000, wav)
+    with pytest.raises(UnsupportedAudio):
+        load_audio(path)
+    audio = load_audio(path, resample=True)
+    assert audio.shape == (2, 44100)  # 1 s at 48k -> 1 s at 44.1k
+    assert np.isfinite(audio).all()
+
+
 def test_mono_input_duplicated(tmp_path):
     from scipy.io import wavfile
 

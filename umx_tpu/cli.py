@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
         "instead of the fused whole-track program",
     )
     p.add_argument(
+        "--resample",
+        action="store_true",
+        help="resample non-44.1 kHz inputs instead of rejecting them",
+    )
+    p.add_argument(
         "--timings", action="store_true", help="print a per-stage wall-clock table"
     )
     p.add_argument("--quiet", action="store_true")
@@ -110,7 +115,7 @@ def _main(argv=None) -> int:
     timer = StageTimer()
     t0 = time.perf_counter()
     with timer.stage("load_audio"):
-        audio = load_audio(args.wav_file, cfg.dsp.sample_rate)
+        audio = load_audio(args.wav_file, cfg.dsp.sample_rate, resample=args.resample)
     log(f"Loaded {args.wav_file}: {audio.shape[1]} samples "
         f"({audio.shape[1] / cfg.dsp.sample_rate:.1f} s)")
 

@@ -34,21 +34,32 @@ def _decode_scipy(path: str) -> tuple[np.ndarray, int]:
     return data, rate
 
 
-def load_audio(path: str, expected_rate: int = 44100) -> np.ndarray:
+def load_audio(path: str, expected_rate: int = 44100, resample: bool = False) -> np.ndarray:
     """Load a WAV into a float32 (2, n_samples) array.
 
     Enforces the supported sample rate and mono/stereo channel counts the
     same way the reference does (dsp.cpp:27-44), raising instead of
-    exit(1).
+    exit(1).  With ``resample`` (beyond the reference, which hard-rejects
+    other rates), inputs are polyphase-resampled to ``expected_rate``.
     """
     decoded = native.read_wav_native(path)
     if decoded is None:
         decoded = _decode_scipy(path)
     data, rate = decoded
     if rate != expected_rate:
-        raise UnsupportedAudio(
-            f"{path}: sample rate {rate} Hz unsupported; only {expected_rate} Hz"
-        )
+        if not resample:
+            raise UnsupportedAudio(
+                f"{path}: sample rate {rate} Hz unsupported; only {expected_rate} Hz "
+                "(pass resample=True / --resample to convert)"
+            )
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(expected_rate, rate)
+        data = resample_poly(
+            data.astype(np.float64), expected_rate // g, rate // g, axis=0
+        ).astype(np.float32)
     n_ch = data.shape[1]
     if n_ch == 1:
         data = np.repeat(data, 2, axis=1)

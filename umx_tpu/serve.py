@@ -89,9 +89,7 @@ class DemixService:
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
             for i in range(stems.shape[0]):
-                import tempfile as tf
-
-                with tf.NamedTemporaryFile(suffix=".wav") as out:
+                with tempfile.NamedTemporaryFile(suffix=".wav") as out:
                     write_audio(out.name, np.asarray(stems[i]))
                     out.seek(0)
                     zf.writestr(f"target_{i}.wav", out.read())
