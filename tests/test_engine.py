@@ -123,6 +123,19 @@ def test_fused_matches_host_loop(sep, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+def test_non_streaming_short_track_single_chunk(cfg):
+    # parallel-segments path with fewer chunks than the chunk batch
+    params = synthetic_params(cfg.model, seed=0)
+    c = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
+    )
+    s = Separator(params, c)
+    short = np.random.default_rng(44).uniform(-0.5, 0.5, (2, 10_000)).astype(np.float32)
+    fused = np.asarray(s.demix(short, fused=True))
+    looped = np.asarray(s.demix(short, fused=False))
+    np.testing.assert_allclose(fused, looped, atol=1e-5)
+
+
 def test_fused_matches_host_loop_no_streaming(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)
     c = dataclasses.replace(

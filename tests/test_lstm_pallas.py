@@ -127,6 +127,23 @@ def test_full_forward_pallas_matches_scan(cfg_scan, cfg_pallas, params, x):
     np.testing.assert_allclose(np.asarray(st_pal.h), np.asarray(st_scan.h), atol=5e-3)
 
 
+def test_pallas_with_quantized_weights(cfg_pallas, cfg_scan, x):
+    """Quantized-HBM params must work through the Pallas forward (ih as
+    fused-dequant einsums, hh densified for VMEM residency)."""
+    from umx_tpu.io.ggml import read_ggml_bytes, write_ggml_bytes
+    from umx_tpu.models.umx import quantized_params_from_ggml, synthetic_state_dicts
+
+    data = write_ggml_bytes(cfg_scan.hidden_size, synthetic_state_dicts(cfg_scan, seed=41))
+    model = read_ggml_bytes(data, keep_quantized=True)
+    qparams = quantized_params_from_ggml(model, cfg_scan)
+
+    st = init_lstm_state(cfg_scan)
+    m_scan, _ = umx_forward(qparams, x, st, cfg_scan)
+    m_pal, _ = umx_forward(qparams, x, st, cfg_pallas)
+    denom = np.abs(np.asarray(m_scan)).mean() + 1e-6
+    assert np.abs(np.asarray(m_pal) - np.asarray(m_scan)).mean() / denom < 0.02
+
+
 def test_pallas_streaming_carry(cfg_pallas, params, x):
     st0 = init_lstm_state(cfg_pallas)
     _, st1 = umx_forward(params, x, st0, cfg_pallas)

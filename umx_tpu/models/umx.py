@@ -439,9 +439,9 @@ def _umx_forward_pallas(
             dense = hh_w.planes[0].astype(jnp.float32)
             if len(hh_w.planes) == 2:
                 dense = 256.0 * dense + hh_w.planes[1].astype(jnp.float32)
-            hh_dense = dense * hh_w.scale[..., None, None, None] + hh_w.offset[
-                ..., None, None, None
-            ]
+            scale = hh_w.scale.reshape(*hh_w.scale.shape, 1, 1)
+            offset = hh_w.offset.reshape(*hh_w.offset.shape, 1, 1)
+            hh_dense = dense * scale + offset
         else:
             hh_dense = hh_w
         # kernel contracts over G: wants (T#, D, G, 4G)
