@@ -162,12 +162,16 @@ def main() -> int:
         o, s = segment_fn(params, audio, s, cfg, n)
     drain(o)
 
-    # timed: chained segments (streaming state dependency, like a track)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o, s = segment_fn(params, audio, s, cfg, n)
-    drain(o)
-    wall = time.perf_counter() - t0
+    # timed: chained segments (streaming state dependency, like a track);
+    # median of 3 windows damps tunnel/run-to-run variance (~±3%)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o, s = segment_fn(params, audio, s, cfg, n)
+        drain(o)
+        walls.append(time.perf_counter() - t0)
+    wall = sorted(walls)[1]
 
     xrt = batch * reps * seg_secs / wall
     name = "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment"
