@@ -52,6 +52,27 @@ def test_unsharded_training_decreases_loss(cfg, tcfg, batch):
     assert losses[-1] < losses[0], losses
 
 
+def test_batchnorm_stats_frozen(cfg, tcfg, batch):
+    """BN running stats are inference buffers: they must not move during
+    training (AdamW on them can drive running_var negative -> NaN)."""
+    import jax
+
+    params = synthetic_params(cfg, seed=5)
+    rv0 = np.asarray(params.bn1_rv).copy()
+    rm0 = np.asarray(params.bn3_rm).copy()
+    state = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    for _ in range(4):
+        state, _ = step(state, batch)
+    np.testing.assert_array_equal(np.asarray(state.params.bn1_rv), rv0)
+    np.testing.assert_array_equal(np.asarray(state.params.bn3_rm), rm0)
+    # trainable params did move
+    assert not np.array_equal(np.asarray(state.params.fc1_w), np.asarray(params.fc1_w))
+    assert not np.array_equal(
+        np.asarray(state.params.input_mean), np.asarray(params.input_mean)
+    )
+
+
 def test_checkpoint_round_trip(tmp_path, cfg, tcfg):
     import jax
 

@@ -113,6 +113,14 @@ class SegmentConfig:
     # "streaming LSTM", umx.cpp:167-171 / lstm.cpp:82).
     streaming: bool = True
 
+    def __post_init__(self):
+        if not (0.0 <= self.overlap < 1.0):
+            raise ValueError(f"overlap must be in [0, 1), got {self.overlap}")
+        if self.segment_secs <= 0:
+            raise ValueError(f"segment_secs must be positive, got {self.segment_secs}")
+        if self.max_shift_secs < 0:
+            raise ValueError(f"max_shift_secs must be >= 0, got {self.max_shift_secs}")
+
     def segment_samples(self, sample_rate: int) -> int:
         return int(self.segment_secs * sample_rate)
 

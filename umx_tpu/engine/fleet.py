@@ -59,7 +59,9 @@ def demix_tracks(
         dp = mesh.shape.get("dp", 1)
 
     if seeds is None:
-        seeds = list(range(len(tracks)))
+        # match Separator.demix_track's default (seed=0 per track) so
+        # fleet and per-track results are identical out of the box
+        seeds = [0] * len(tracks)
 
     # per-track offset sequences drawn exactly like Separator.demix_track
     # (sequential draws from one per-track PRNG), so fleet results equal
@@ -74,6 +76,15 @@ def demix_tracks(
             )
         else:
             track_offsets.append([0] * n_passes)
+
+    # place params once, outside the pass/bucket loops (a full UMX-L
+    # tree is ~450 MB; re-transferring per bucket costs real seconds)
+    if mesh is not None:
+        params_r = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+        )
+    else:
+        params_r = params
 
     results: list[np.ndarray | None] = [None] * len(tracks)
     for p in range(n_passes):
@@ -111,11 +122,6 @@ def demix_tracks(
                 sh = NamedSharding(mesh, P("dp"))
                 audio_b = jax.device_put(audio_b, sh)
                 states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
-                params_r = jax.tree.map(
-                    lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
-                )
-            else:
-                params_r = params
             out_b, _ = fn(params_r, audio_b, states)
             out_b = np.asarray(out_b)
             for (idx, offset, length, _, _), out in zip(items, out_b):

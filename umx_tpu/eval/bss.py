@@ -156,13 +156,29 @@ def _solve_cholesky_batched(Gs: np.ndarray, Bs: np.ndarray) -> np.ndarray:
     return np.asarray(solve(jnp.asarray(Gs, jnp.float32), jnp.asarray(Bs, jnp.float32)))
 
 
-def bss_eval_window_batch(references, estimates, flen: int = 512):
-    """bss_eval_images for a BATCH of windows with all linear solves
-    executed as one batched device call.
+def bss_eval_window_batch(references, estimates, flen: int = 512, max_windows: int = 8):
+    """bss_eval_images for a BATCH of windows with the linear solves
+    executed as batched device calls.
 
     references, estimates: (W, J, C, n).  Returns (SDR, ISR, SIR, SAR)
-    arrays of shape (W, J)."""
+    arrays of shape (W, J).
+
+    Windows are processed in groups of ``max_windows``: at the default
+    J=4, C=2, flen=512 one window's Gram is a (4096, 4096) matrix
+    (~67 MB f32), so a full track batched at once would exhaust both
+    host RAM and a single chip's HBM."""
     W, J, C, n = references.shape
+    if W > max_windows:
+        parts = [
+            bss_eval_window_batch(
+                references[s : s + max_windows],
+                estimates[s : s + max_windows],
+                flen,
+                max_windows,
+            )
+            for s in range(0, W, max_windows)
+        ]
+        return tuple(np.concatenate([p[m] for p in parts]) for m in range(4))
     K = J * C * flen
 
     Gs = np.empty((W, K, K), np.float64)
@@ -257,11 +273,16 @@ def bss_eval_images_framewise(
             break
 
     frames = [None] * len(spans)
+    silent = [None] * len(spans)
     batch_idx, batch_ref, batch_est = [], [], []
     for i, (pos, end) in enumerate(spans):
         ref_w = references[..., pos:end]
         est_w = estimates[..., pos:end]
-        if np.any(np.sum(ref_w**2, axis=(1, 2)) < 1e-12):
+        # museval convention: a silent reference source is NaN for THAT
+        # source only; the other sources in the frame still evaluate
+        # (the regularized Gram keeps the solve well-posed)
+        silent[i] = np.sum(ref_w**2, axis=(1, 2)) < 1e-12
+        if silent[i].all():
             frames[i] = np.full((4, J), np.nan)
         elif accelerator == "jax" and end - pos == window:
             batch_idx.append(i)
@@ -276,6 +297,9 @@ def bss_eval_images_framewise(
         )  # 4 x (W, J)
         for k, i in enumerate(batch_idx):
             frames[i] = np.stack([res[0][k], res[1][k], res[2][k], res[3][k]])
+
+    for i in range(len(spans)):
+        frames[i] = np.where(silent[i][None, :], np.nan, frames[i])
 
     all_frames = np.stack(frames, axis=-1)  # (4, J, n_frames)
     med = np.nanmedian(all_frames, axis=-1)

@@ -61,7 +61,8 @@ TENSOR_ORDER = (
     + [f"bn3.{s}" for s in ("weight", "bias", "running_mean", "running_var")]
 )
 assert len(TENSOR_ORDER) == 43
-TARGET_ORDER = ("bass", "drums", "other", "vocals")
+# single source of truth for target order lives in config
+from umx_tpu.config import TARGETS as TARGET_ORDER  # noqa: E402
 
 
 def qtype_for(name: str):

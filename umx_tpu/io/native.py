@@ -118,13 +118,15 @@ def read_ggml_native(path: str):
 
 def read_wav_native(path: str):
     """Decode a WAV with the native library → (data (frames, ch) f32, rate),
-    or None when unavailable."""
+    or None when the library is unavailable OR it cannot decode this
+    file's format (callers fall back to the scipy decoder, which handles
+    e.g. 8-bit PCM that the native codec does not)."""
     lib = _load_lib()
     if lib is None:
         return None
     handle = lib.umxio_read_wav(path.encode())
     if not handle:
-        raise IOError(f"native wav decode failed for {path}")
+        return None
     try:
         frames = lib.umxio_wav_num_frames(handle)
         ch = lib.umxio_wav_num_channels(handle)

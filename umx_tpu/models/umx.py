@@ -85,7 +85,15 @@ class UMXParams:
         return self.lstm_hh_w.shape[-2]
 
     def astype(self, dtype) -> "UMXParams":
-        return jax.tree.map(lambda x: x.astype(dtype), self)
+        """Cast dense arrays; QTensor fields pass through untouched (their
+        planes/scale/offset must stay exact for the fused dequant)."""
+        from umx_tpu.ops.qmatmul import QTensor
+
+        return jax.tree.map(
+            lambda x: x if isinstance(x, QTensor) else x.astype(dtype),
+            self,
+            is_leaf=lambda x: isinstance(x, QTensor),
+        )
 
 
 @jax.tree_util.register_dataclass

@@ -46,11 +46,13 @@ class DemixService:
         self.requests_served = 0
 
     def info(self) -> dict:
+        from umx_tpu.config import TARGETS
+
         cfg = self.separator.cfg
         return {
             "model": self.model_path,
             "hidden_size": cfg.model.hidden_size,
-            "targets": ["bass", "drums", "other", "vocals"],
+            "targets": list(TARGETS),
             "sample_rate": cfg.dsp.sample_rate,
             "segment_secs": cfg.segment.segment_secs,
             "requests_served": self.requests_served,

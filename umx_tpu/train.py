@@ -49,8 +49,30 @@ class TrainConfig:
     seq_len: int = 256
 
 
+def _param_labels() -> UMXParams:
+    """BatchNorm running statistics are inference-mode buffers (the loss
+    evaluates BN with them), NOT gradient-trained parameters — updating
+    them with AdamW can drive running_var negative and NaN the loss.
+    Everything else (incl. input/output norm, which upstream openunmix
+    registers as nn.Parameter) trains.  NOTE: optax.masked is NOT enough
+    here — it passes masked-out gradients through unchanged; the frozen
+    group must be routed to set_to_zero."""
+    import dataclasses as dc
+
+    frozen = {"bn1_rm", "bn1_rv", "bn2_rm", "bn2_rv", "bn3_rm", "bn3_rv"}
+    return UMXParams(
+        **{f.name: ("freeze" if f.name in frozen else "train") for f in dc.fields(UMXParams)}
+    )
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+    return optax.multi_transform(
+        {
+            "train": optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay),
+            "freeze": optax.set_to_zero(),
+        },
+        _param_labels(),
+    )
 
 
 def init_train_state(params: UMXParams, tcfg: TrainConfig) -> TrainState:
@@ -178,25 +200,31 @@ def export_ggml(params: UMXParams, path: str, cfg: ModelConfig) -> None:
     write_ggml(path, cfg.hidden_size, targets)
 
 
+@partial(jax.jit, static_argnames=("cfg", "dsp_cfg"))
+def _prep_batch(mix, targets, cfg: ModelConfig, dsp_cfg):
+    """Jitted at module level (configs are hashable static args) so each
+    (shape, config) compiles exactly once — defining it inside
+    make_batch_from_audio would retrace every training step."""
+    from umx_tpu.ops import stft as stft_ops
+
+    mix_spec = stft_ops.stft(mix, dsp_cfg)  # (B, 2, T, F)
+    mix_mag = jnp.abs(mix_spec)
+    tgt_mag = jnp.abs(stft_ops.stft(targets, dsp_cfg))  # (B, T#, 2, T, F)
+    left = mix_mag[:, 0, :, : cfg.nb_bins_cropped]
+    right = mix_mag[:, 1, :, : cfg.nb_bins_cropped]
+    x = jnp.concatenate([left, right], axis=-1)  # (B, T, F_in)
+    return x, mix_mag, tgt_mag
+
+
 def make_batch_from_audio(audio_mix, audio_targets, cfg: ModelConfig, dsp_cfg, seq_len: int):
     """Build a training batch from raw audio on the host.
 
     audio_mix (B, 2, n); audio_targets (B, T#, 2, n).  Uses the same
-    on-device STFT as inference (one jit per shape).
+    on-device STFT as inference (one jit per shape/config).
     """
-    from umx_tpu.ops import stft as stft_ops
-
-    @partial(jax.jit, static_argnames=())
-    def prep(mix, targets):
-        mix_spec = stft_ops.stft(mix, dsp_cfg)  # (B, 2, T, F)
-        mix_mag = jnp.abs(mix_spec)
-        tgt_mag = jnp.abs(stft_ops.stft(targets, dsp_cfg))  # (B, T#, 2, T, F)
-        left = mix_mag[:, 0, :, : cfg.nb_bins_cropped]
-        right = mix_mag[:, 1, :, : cfg.nb_bins_cropped]
-        x = jnp.concatenate([left, right], axis=-1)  # (B, T, F_in)
-        return x, mix_mag, tgt_mag
-
-    x, mix_mag, tgt_mag = prep(jnp.asarray(audio_mix), jnp.asarray(audio_targets))
+    x, mix_mag, tgt_mag = _prep_batch(
+        jnp.asarray(audio_mix), jnp.asarray(audio_targets), cfg, dsp_cfg
+    )
     return {
         "x": x[:, :seq_len],
         "mix_mag": mix_mag[:, :, :seq_len],
