@@ -61,8 +61,11 @@ bool gunzip(const std::vector<uint8_t> &in, std::vector<uint8_t> &out) {
             ret = Z_OK;
         }
     } while (ret != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
+    // a truncated stream leaves ret==Z_OK with the input exhausted; that is
+    // a failure, not a short success (matches Python gzip.decompress raising)
+    bool complete = (ret == Z_STREAM_END) && zs.avail_in == 0;
     inflateEnd(&zs);
-    return true;
+    return complete;
 }
 
 // ---------------------------------------------------------------------------

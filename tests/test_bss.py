@@ -104,3 +104,27 @@ def test_framewise_shapes_and_median(sources):
     assert res["SDR"].shape[1] == 2  # two full windows
     assert res["median_SDR"].shape == (J,)
     assert np.isfinite(res["median_SDR"]).all()
+
+
+def test_jax_path_falls_back_to_float64_on_nonfinite(monkeypatch):
+    # ADVICE r1: NaNs from a float32 Cholesky on near-singular Grams must
+    # not be silently absorbed by nanmedian — those windows re-solve in
+    # float64 on the CPU path.
+    from umx_tpu.eval import bss
+
+    rng = np.random.default_rng(19)
+    refs = rng.normal(size=(2, 2, 2 * 44100)).astype(np.float32) * 0.1
+    ests = refs + 0.01 * rng.normal(size=refs.shape).astype(np.float32)
+
+    real_batch = bss.bss_eval_window_batch
+
+    def poisoned_batch(references, estimates, flen=512, max_windows=8):
+        out = real_batch(references, estimates, flen, max_windows)
+        return tuple(np.full_like(o, np.nan) for o in out)
+
+    monkeypatch.setattr(bss, "bss_eval_window_batch", poisoned_batch)
+    got = bss.bss_eval_images_framewise(refs, ests, flen=64, accelerator="jax")
+    want = bss.bss_eval_images_framewise(refs, ests, flen=64, accelerator="numpy")
+    for key in ("SDR", "ISR", "SIR", "SAR"):
+        assert np.isfinite(got[key]).all(), key
+        np.testing.assert_allclose(got[key], want[key], rtol=1e-6, atol=1e-6)

@@ -74,3 +74,34 @@ def test_train_loop_runs_and_improves(stem_root):
     assert len(losses) == 8
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_non_source_mixing_stems_are_time_aligned(stem_root):
+    # ADVICE r1: without source_mixing the 4 stems must share ONE track,
+    # start offset, gain, and channel swap (coherent MUSDB semantics)
+    aug = AugmentConfig(gain_min=0.5, gain_max=0.5, channel_swap_prob=1.0, source_mixing=False)
+    ds = StemDataset(stem_root, excerpt_samples=8000, augment=aug, seed=11)
+    _, targets = ds.sample(2)
+    L = 8000
+    for b in range(2):
+        found = False
+        for track in ds.tracks:
+            stems = ds._load_stems(track)  # (4, 2, n)
+            n = stems.shape[-1]
+            # bass (index 0) locates the shared start; channel-swapped, gain 0.5
+            want = targets[b, 0]
+            for start in range(0, n - L + 1):
+                cand = 0.5 * stems[0, ::-1, start : start + L]
+                if np.allclose(cand, want, atol=1e-6):
+                    for j in range(1, 4):
+                        np.testing.assert_allclose(
+                            targets[b, j],
+                            0.5 * stems[j, ::-1, start : start + L],
+                            atol=1e-6,
+                            err_msg=f"stem {j} misaligned",
+                        )
+                    found = True
+                    break
+            if found:
+                break
+        assert found, "sampled stems do not correspond to any aligned excerpt"

@@ -238,3 +238,33 @@ def test_cli_end_to_end(tmp_path, cfg, audio):
         assert rate == 44100
         assert data.shape == (44100, 2)
         assert np.isfinite(data).all()
+
+
+def test_host_only_cfg_fields_do_not_recompile():
+    # ADVICE r1 (medium): shifts / max_shift_secs are host-only; changing
+    # them must not retrigger a device compile of the segment program.
+    import jax.numpy as jnp
+
+    from umx_tpu.engine import separator as sep
+    from umx_tpu.models.umx import init_lstm_state
+
+    cfg1 = EngineConfig(model=ModelConfig(hidden_size=32), shifts=1)
+    cfg2 = cfg1.replace(shifts=5)
+    cfg3 = cfg1.replace(
+        segment=dataclasses.replace(cfg1.segment, max_shift_secs=0.25)
+    )
+    assert sep._device_cfg(cfg1) == sep._device_cfg(cfg2) == sep._device_cfg(cfg3)
+
+    params = synthetic_params(cfg1.model, seed=0)
+    st = init_lstm_state(cfg1.model)
+    n = 4096 * 2
+    audio = jnp.zeros((2, n), jnp.float32)
+    before = sep._segment_forward_jit._cache_size()
+    out1, _ = sep.segment_forward(params, audio, st, cfg1, n)
+    mid = sep._segment_forward_jit._cache_size()
+    out2, _ = sep.segment_forward(params, audio, st, cfg2, n)
+    sep.segment_forward(params, audio, st, cfg3, n)
+    after = sep._segment_forward_jit._cache_size()
+    assert mid == before + 1
+    assert after == mid  # no recompiles for host-only field changes
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -102,3 +102,39 @@ def test_native_wav_via_audio_module(tmp_path):
     write_audio(path, wave)
     back = load_audio(path)
     np.testing.assert_allclose(back, wave, atol=1e-6)
+
+
+def test_native_gunzip_rejects_truncated(tmp_path):
+    # ADVICE r1: a truncated .bin.gz must fail the native parse cleanly
+    # (Z_STREAM_END required), matching the Python gzip path's raise
+    from umx_tpu.config import ModelConfig
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+
+    cfg = ModelConfig(hidden_size=32)
+    path = str(tmp_path / "m.bin.gz")
+    write_ggml(path, 32, synthetic_state_dicts(cfg, seed=76))
+    blob = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.bin.gz")
+    with open(trunc, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises((IOError, ValueError)):
+        native.read_ggml_native(trunc)
+
+
+def test_native_short_uncompressed_raises_missing_tensors(tmp_path):
+    # ADVICE r1: a short (uncompressed) file must raise the same
+    # ValueError as the Python parser, not return a silently partial model
+    from umx_tpu.config import ModelConfig
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+
+    cfg = ModelConfig(hidden_size=32)
+    path = str(tmp_path / "m.bin")
+    write_ggml(path, 32, synthetic_state_dicts(cfg, seed=77))
+    blob = open(path, "rb").read()
+    short = str(tmp_path / "short.bin")
+    with open(short, "wb") as f:
+        f.write(blob[: int(len(blob) * 0.8)])
+    with pytest.raises((IOError, ValueError)):
+        native.read_ggml_native(short)

@@ -76,7 +76,7 @@ class StemDataset:
             self._cache[track] = self._cache.pop(track)  # LRU touch
         return self._cache[track]
 
-    def _excerpt(self, track: str, target_idx: int) -> np.ndarray:
+    def _excerpt(self, track: str, target_idx: int, start: int | None = None) -> np.ndarray:
         stems = self._load_stems(track)
         n = stems.shape[-1]
         L = self.excerpt_samples
@@ -84,30 +84,52 @@ class StemDataset:
             pad = np.zeros((2, L), np.float32)
             pad[:, :n] = stems[target_idx]
             return pad
-        start = int(self._rng.integers(0, n - L))
+        if start is None:
+            start = int(self._rng.integers(0, n - L))
         return stems[target_idx, :, start : start + L].copy()
 
-    def _augment(self, x: np.ndarray) -> np.ndarray:
+    def _draw_augment(self) -> tuple[np.float32, bool]:
         a = self.augment
-        gain = self._rng.uniform(a.gain_min, a.gain_max)
-        x = x * np.float32(gain)
-        if self._rng.random() < a.channel_swap_prob:
+        gain = np.float32(self._rng.uniform(a.gain_min, a.gain_max))
+        swap = bool(self._rng.random() < a.channel_swap_prob)
+        return gain, swap
+
+    @staticmethod
+    def _apply_augment(x: np.ndarray, gain: np.float32, swap: bool) -> np.ndarray:
+        x = x * gain
+        if swap:
             x = x[::-1]
         return x
 
     def sample(self, batch_size: int) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (mix (B, 2, L), targets (B, T#, 2, L))."""
+        """Returns (mix (B, 2, L), targets (B, T#, 2, L)).
+
+        With ``source_mixing`` each stem is drawn from an independent
+        random track/offset with independent gain/swap (the strongest
+        openunmix augmentation).  Without it, the standard non-augmented
+        MUSDB semantics apply: ONE track, ONE start offset, ONE gain and
+        channel swap shared by all four stems, so the stems stay
+        time-aligned and coherent (mix is a real mixture).
+        """
         B = batch_size
         targets = np.empty((B, len(TARGETS), 2, self.excerpt_samples), np.float32)
         for b in range(B):
-            base = self.tracks[int(self._rng.integers(len(self.tracks)))]
-            for j in range(len(TARGETS)):
-                track = (
-                    self.tracks[int(self._rng.integers(len(self.tracks)))]
-                    if self.augment.source_mixing
-                    else base
-                )
-                targets[b, j] = self._augment(self._excerpt(track, j))
+            if self.augment.source_mixing:
+                for j in range(len(TARGETS)):
+                    track = self.tracks[int(self._rng.integers(len(self.tracks)))]
+                    targets[b, j] = self._apply_augment(
+                        self._excerpt(track, j), *self._draw_augment()
+                    )
+            else:
+                base = self.tracks[int(self._rng.integers(len(self.tracks)))]
+                n = self._load_stems(base).shape[-1]
+                L = self.excerpt_samples
+                start = 0 if n <= L else int(self._rng.integers(0, n - L))
+                gain, swap = self._draw_augment()
+                for j in range(len(TARGETS)):
+                    targets[b, j] = self._apply_augment(
+                        self._excerpt(base, j, start=start), gain, swap
+                    )
         mix = targets.sum(axis=1)
         return mix, targets
 

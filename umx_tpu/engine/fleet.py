@@ -22,13 +22,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.engine.separator import _demix_fused_impl
+from umx_tpu.engine.separator import _demix_fused_impl, _device_cfg
 from umx_tpu.models.umx import UMXParams, init_lstm_state
 
 _batched_cache: dict = {}
 
 
 def _batched_demix(cfg: EngineConfig, n_chunks: int, seg: int, stride: int):
+    cfg = _device_cfg(cfg)  # host-only fields must not key compilations
     key = (cfg, n_chunks, seg, stride)
     if key not in _batched_cache:
         def one(params, audio_p, state):

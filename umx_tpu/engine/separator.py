@@ -84,9 +84,32 @@ def _segment_forward_impl(
     return waves, new_state
 
 
-segment_forward = jax.jit(
+@functools.lru_cache(maxsize=256)
+def _device_cfg(cfg: EngineConfig) -> EngineConfig:
+    """Canonicalize the jit static key: zero out host-only fields so
+    byte-identical device programs share one compilation.
+
+    ``shifts`` and ``segment.max_shift_secs`` are consumed exclusively by
+    the host-side :meth:`Separator.demix_track` loop; without this, a
+    request changing shifts (e.g. serve.py per-request overrides) would
+    recompile the entire fused-track program — minutes on a remote-compile
+    backend — for an identical computation.
+    """
+    return dataclasses.replace(
+        cfg,
+        shifts=0,
+        segment=dataclasses.replace(cfg.segment, max_shift_secs=0.0),
+    )
+
+
+_segment_forward_jit = jax.jit(
     _segment_forward_impl, static_argnames=("cfg", "n_samples")
 )
+
+
+def segment_forward(params, audio, state, cfg: EngineConfig, n_samples: int):
+    """Jitted single-segment demix (see :func:`_segment_forward_impl`)."""
+    return _segment_forward_jit(params, audio, state, _device_cfg(cfg), n_samples)
 
 
 def _demix_fused_impl(
@@ -170,17 +193,22 @@ def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
     return out[..., :padded_len]
 
 
-demix_fused = jax.jit(
+_demix_fused_jit = jax.jit(
     _demix_fused_impl,
     static_argnames=("cfg", "n_chunks", "seg", "stride"),
     donate_argnums=(2,),
 )
 
 
+def demix_fused(params, audio_p, state, cfg: EngineConfig, n_chunks: int, seg: int, stride: int):
+    """Jitted whole-track fused demix (see :func:`_demix_fused_impl`)."""
+    return _demix_fused_jit(params, audio_p, state, _device_cfg(cfg), n_chunks, seg, stride)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch")
 )
-def demix_fused_parallel(
+def _demix_fused_parallel_jit(
     params: UMXParams,
     audio_p: Array,
     cfg: EngineConfig,
@@ -226,6 +254,15 @@ def demix_fused_parallel(
         jnp.broadcast_to(weight, (n_chunks, seg)), stride, padded_len
     )
     return out / sw
+
+
+def demix_fused_parallel(
+    params, audio_p, cfg: EngineConfig, n_chunks: int, seg: int, stride: int, chunk_batch: int = 4
+):
+    """Jitted whole-track parallel-segments demix (non-streaming configs)."""
+    return _demix_fused_parallel_jit(
+        params, audio_p, _device_cfg(cfg), n_chunks, seg, stride, chunk_batch
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("segment_samples", "power"))

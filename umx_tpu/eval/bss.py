@@ -295,8 +295,26 @@ def bss_eval_images_framewise(
         res = bss_eval_window_batch(
             np.stack(batch_ref), np.stack(batch_est), flen
         )  # 4 x (W, J)
+        n_refallback = 0
         for k, i in enumerate(batch_idx):
             frames[i] = np.stack([res[0][k], res[1][k], res[2][k], res[3][k]])
+            # float32 Cholesky can NaN out on near-singular Grams
+            # (quiet-but-not-silent frames); those NaNs must not be
+            # silently absorbed by nanmedian as if the frame were silent.
+            # Re-solve such windows on the float64 CPU path.
+            bad = ~np.isfinite(frames[i]) & ~silent[i][None, :]
+            if bad.any():
+                n_refallback += 1
+                frames[i] = np.stack(
+                    bss_eval_window(batch_ref[k], batch_est[k], flen)
+                )
+        if n_refallback:
+            from umx_tpu.utils import logging as _log
+
+            _log.info(
+                f"bss_eval: {n_refallback}/{len(batch_idx)} windows fell back "
+                "to float64 (non-finite float32 solve)"
+            )
 
     for i in range(len(spans)):
         frames[i] = np.where(silent[i][None, :], np.nan, frames[i])

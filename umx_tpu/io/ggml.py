@@ -142,7 +142,12 @@ def read_ggml(path: str, keep_quantized: bool = False, progress=None) -> GGMLMod
     from umx_tpu.io import native
 
     if not keep_quantized and progress is None:
-        model = native.read_ggml_native(path)
+        try:
+            model = native.read_ggml_native(path)
+        except (IOError, ValueError):
+            # re-parse in Python for the precise diagnostic (bad magic /
+            # truncated payload / missing tensors)
+            model = None
         if model is not None:
             return model
     with open(path, "rb") as fh:

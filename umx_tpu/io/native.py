@@ -91,6 +91,8 @@ def read_ggml_native(path: str):
         return None
     from umx_tpu.io.ggml import GGMLModel, TARGET_ORDER
 
+    from umx_tpu.io.ggml import TENSOR_ORDER
+
     handle = lib.umxio_read_ggml(path.encode())
     if not handle:
         raise IOError(f"native ggml parse failed for {path}")
@@ -101,6 +103,11 @@ def read_ggml_native(path: str):
         for i in range(n):
             name = lib.umxio_tensor_name(handle, i).decode()
             tgt = lib.umxio_tensor_target(handle, i)
+            if not 0 <= tgt < len(TARGET_ORDER):
+                # a malformed file whose names repeat more than 3 times
+                raise ValueError(
+                    f"expected {len(TARGET_ORDER)} targets, got {tgt + 1}"
+                )
             ndims = lib.umxio_tensor_ndims(handle, i)
             dims = lib.umxio_tensor_dims(handle, i)
             shape = tuple(dims[j] for j in range(ndims))
@@ -108,6 +115,12 @@ def read_ggml_native(path: str):
             data_ptr = lib.umxio_tensor_data(handle, i)
             arr = np.ctypeslib.as_array(data_ptr, shape=(count,)).reshape(shape).copy()
             targets[tgt][name] = arr
+        # a short file yields an incomplete model — fail like the Python
+        # parser instead of returning it silently
+        for t, d in zip(TARGET_ORDER, targets):
+            missing = set(TENSOR_ORDER) - set(d)
+            if missing:
+                raise ValueError(f"target {t!r} missing tensors: {sorted(missing)}")
         return GGMLModel(
             hidden_size=hidden,
             targets={t: d for t, d in zip(TARGET_ORDER, targets)},
