@@ -169,3 +169,53 @@ def test_overlap_add_inverts_framing(cfg):
         np.testing.assert_array_equal(
             np.asarray(frames)[:, t], x[:, t * cfg.hop : t * cfg.hop + cfg.n_fft]
         )
+
+
+def test_ct_dft_matches_npfft(cfg):
+    # two-stage Cooley-Tukey matmul DFT: same accuracy class as the dense
+    # matmul DFT, ~12x fewer MXU FLOPs
+    from umx_tpu.ops import fft as mxu_fft
+
+    rng = np.random.default_rng(9)
+    frames = rng.standard_normal((5, cfg.n_fft)).astype(np.float32)
+    re, im = mxu_fft.rdft_ct(frames, cfg.n_fft)
+    assert re.shape == (5, cfg.n_fft // 2 + 1)
+    ref = np.fft.rfft(frames, axis=-1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-5 * scale)
+
+    back = np.asarray(mxu_fft.irdft_ct(re, im, cfg.n_fft))
+    np.testing.assert_allclose(back, frames, atol=1e-4)
+
+
+def test_irdft_window_folding(cfg):
+    # irdft(window=w) == irdft() * w, for both dense and CT algos
+    from umx_tpu.ops import fft as mxu_fft
+    from umx_tpu.ops.stft import hann_window
+
+    rng = np.random.default_rng(10)
+    spec = np.fft.rfft(rng.standard_normal((3, cfg.n_fft)), axis=-1)
+    re = spec.real.astype(np.float32)
+    im = spec.imag.astype(np.float32)
+    win = hann_window(cfg.n_fft)
+    for algo in ("dense", "ct"):
+        plain = np.asarray(mxu_fft.irdft(re, im, cfg.n_fft, algo=algo))
+        folded = np.asarray(mxu_fft.irdft(re, im, cfg.n_fft, algo=algo, window=win))
+        np.testing.assert_allclose(folded, plain * np.asarray(win), atol=1e-5)
+
+
+def test_stft_ct_vs_dense_algo(cfg):
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    n = cfg.hop * 16
+    x = rng.uniform(-1, 1, (2, n)).astype(np.float32)
+    cfg_ct = dataclasses.replace(cfg, fft_impl="matmul", dft_algo="ct")
+    cfg_dn = dataclasses.replace(cfg, fft_impl="matmul", dft_algo="dense")
+    s_ct = np.asarray(stft_ops.stft(x, cfg_ct))
+    s_dn = np.asarray(stft_ops.stft(x, cfg_dn))
+    scale = np.abs(s_dn).max()
+    np.testing.assert_allclose(s_ct, s_dn, atol=2e-5 * scale)
+    x_ct = np.asarray(stft_ops.istft(stft_ops.stft(x, cfg_ct), n, cfg_ct))
+    np.testing.assert_allclose(x_ct, x, atol=1e-4)

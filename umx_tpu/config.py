@@ -33,6 +33,10 @@ class DSPConfig:
     # "high" = 3-pass bf16 (~2x faster, ~1e-6 relative error — far inside
     # the 1e-4 STFT tolerance), "default" = 1-pass bf16 (fastest, ~1e-3).
     dft_precision: Literal["highest", "high", "default"] = "high"
+    # Matmul-DFT algorithm: "dense" = one (n_fft, n_bins) matmul pair;
+    # "ct" = two-stage (128x32) Cooley-Tukey factorization — ~12x fewer
+    # MXU FLOPs at the same accuracy class (ops/fft.py).
+    dft_algo: Literal["dense", "ct"] = "ct"
 
     @property
     def n_bins(self) -> int:
@@ -98,6 +102,14 @@ class WienerConfig:
     # |y|^2 = re^2+im^2 (wiener.cpp:185-204).  "correct" implements the
     # mathematically standard openunmix |y|^2; "umxcpp" reproduces the quirk.
     psd: Literal["correct", "umxcpp"] = "correct"
+    # Implementation: "einsum" = whole-segment einsum chain (portable,
+    # supports the psd quirk); "pallas" = fused two-pass TPU kernels
+    # (ops/wiener_pallas.py, ~6x less HBM traffic); "pallas_interpret"
+    # runs the kernels in the Pallas interpreter (CPU tests); "auto"
+    # picks pallas on TPU backends when psd == "correct".
+    impl: Literal["auto", "einsum", "pallas", "pallas_interpret"] = "auto"
+    # time rows per Pallas grid step
+    time_block: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,7 +30,7 @@ import numpy as np
 from umx_tpu.config import EngineConfig
 from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
 from umx_tpu.ops import stft as stft_ops
-from umx_tpu.ops.wiener import wiener_filter
+from umx_tpu.ops.wiener import wiener_filter_planes
 
 Array = jax.Array
 
@@ -65,8 +65,11 @@ def _segment_forward_impl(
     XLA program.
     """
     mcfg, dcfg = cfg.model, cfg.dsp
-    spec = stft_ops.stft(audio, dcfg)  # (2, T, F) complex
-    mag = jnp.abs(spec)
+    # The pipeline runs on (re, im) float32 planes end to end — XLA
+    # materializes complex64 as strided pairs, so staying real avoids
+    # interleave/deinterleave passes between STFT, Wiener, and iSTFT.
+    re, im = stft_ops.stft_planes(audio, dcfg)  # (2, T, F)
+    mag = jnp.sqrt(re * re + im * im)
 
     x = crop_stack(mag, mcfg.nb_bins_cropped)
     masks, new_state = umx_forward(params, x, state, mcfg, cfg.compute_dtype)
@@ -74,13 +77,15 @@ def _segment_forward_impl(
     target_mags = apply_masks(masks, mag, mcfg.n_bins)  # (T#, 2, T, F)
 
     if cfg.use_wiener:
-        target_specs = wiener_filter(spec, target_mags, cfg.wiener)
+        tre, tim = wiener_filter_planes(re, im, target_mags, cfg.wiener)
     else:
         # naive mix-phase reconstruction (the reference's original
         # no-wiener release, README.md:38-44)
-        target_specs = stft_ops.polar_to_complex(target_mags, spec[None])
+        ure, uim = stft_ops.unit_phasors(re, im)
+        tre = target_mags * ure[None]
+        tim = target_mags * uim[None]
 
-    waves = stft_ops.istft(target_specs, n_samples, dcfg)  # (T#, 2, n)
+    waves = stft_ops.istft_planes(tre, tim, n_samples, dcfg)  # (T#, 2, n)
     return waves, new_state
 
 

@@ -61,20 +61,177 @@ def _dot(a: Array, b: Array, precision: str, transpose_b: bool = False) -> Array
     )
 
 
-def rdft(x: Array, n_fft: int, precision: str = "high") -> tuple[Array, Array]:
+def rdft(x: Array, n_fft: int, precision: str = "high", algo: str = "dense") -> tuple[Array, Array]:
     """Forward one-sided real DFT of frames ``x (..., n_fft)`` →
-    ``(re, im)`` each ``(..., n_fft//2 + 1)``."""
+    ``(re, im)`` each ``(..., n_fft//2 + 1)``.
+
+    ``algo="dense"`` is one (n_fft, n_bins) matmul pair; ``algo="ct"`` is
+    the two-stage Cooley-Tukey factorization (~12x fewer MXU FLOPs, see
+    :func:`rdft_ct`)."""
+    if algo == "ct":
+        return rdft_ct(x, n_fft, precision)
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_mats_np(n_fft))
     x = x.astype(jnp.float32)
     return _dot(x, cos_m, precision), -_dot(x, sin_m, precision)
 
 
-def irdft(re: Array, im: Array, n_fft: int, precision: str = "high") -> Array:
-    """Inverse of :func:`rdft` with 1/N scaling → frames ``(..., n_fft)``."""
+def irdft(
+    re: Array,
+    im: Array,
+    n_fft: int,
+    precision: str = "high",
+    algo: str = "dense",
+    window: Array | None = None,
+) -> Array:
+    """Inverse of :func:`rdft` with 1/N scaling → frames ``(..., n_fft)``.
+
+    ``window`` (n_fft,) is the synthesis window, FOLDED INTO the inverse
+    transform: for the dense algo it is baked into the constant iDFT
+    matrices (zero extra passes over the frame tensor), for the CT algo it
+    multiplies the last stage's epilogue.  This removes the separate
+    window-multiply pass the reference does after its per-frame iFFT
+    (dsp.cpp:178-258)."""
+    if algo == "ct":
+        return irdft_ct(re, im, n_fft, precision, window=window)
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_mats_np(n_fft))
+    if window is not None:
+        cos_m = cos_m * window[:, None]
+        sin_m = sin_m * window[:, None]
     n_bins = n_fft // 2 + 1
     w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
     w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
     return _dot(re.astype(jnp.float32) * w, cos_m, precision, transpose_b=True) - _dot(
         im.astype(jnp.float32) * w, sin_m, precision, transpose_b=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage Cooley-Tukey factorization
+# ---------------------------------------------------------------------------
+#
+# The dense matmul-DFT costs n_fft * n_bins MACs per frame (~8.4M at 4096).
+# Splitting N = N1*N2 (decimation: n = N2*a + b, k = N1*c + d) runs two
+# small matmul stages + one elementwise twiddle:
+#
+#   stage 1 (contract a, length N1):  P[b,d] + iQ[b,d] = sum_a x[a,b] W_N1^{ad}
+#   twiddle:                          U = (P+iQ) * W_N^{bd}
+#   stage 2 (contract b, length N2):  X[N1*c+d] = sum_b U[b,d] W_N2^{bc}
+#
+# At (N1, N2) = (128, 32) this is ~0.66M MACs/frame — 12.6x fewer — and
+# stage 1 (the bulk) contracts K=128 into N=128 output columns, exactly
+# filling the MXU.  The inverse runs the same factorization transposed.
+
+
+def _ct_factors(n_fft: int) -> tuple[int, int]:
+    n1 = 128 if n_fft % 128 == 0 else 64
+    assert n_fft % n1 == 0, f"n_fft={n_fft} not factorable for CT"
+    return n1, n_fft // n1
+
+
+@functools.lru_cache(maxsize=4)
+def _ct_fwd_mats_np(n_fft: int):
+    n1, n2 = _ct_factors(n_fft)
+    a = np.arange(n1, dtype=np.float64)
+    b = np.arange(n2, dtype=np.float64)
+    d = np.arange(n1, dtype=np.float64)
+    c = np.arange(n2 // 2 + 1, dtype=np.float64)  # only bins k <= n_fft//2 + n1
+    s1 = 2.0 * np.pi * a[:, None] * d[None, :] / n1          # (N1, N1) stage 1
+    tw = 2.0 * np.pi * b[:, None] * d[None, :] / n_fft       # (N2, N1) twiddle
+    s2 = 2.0 * np.pi * b[:, None] * c[None, :] / n2          # (N2, C2) stage 2
+    f32 = np.float32
+    return (
+        np.cos(s1).astype(f32), np.sin(s1).astype(f32),
+        np.cos(tw).astype(f32), np.sin(tw).astype(f32),
+        np.cos(s2).astype(f32), np.sin(s2).astype(f32),
+    )
+
+
+def rdft_ct(x: Array, n_fft: int, precision: str = "high") -> tuple[Array, Array]:
+    """Two-stage Cooley-Tukey one-sided real DFT (same contract as
+    :func:`rdft`)."""
+    n1, n2 = _ct_factors(n_fft)
+    c2 = n2 // 2 + 1
+    n_bins = n_fft // 2 + 1
+    cos1, sin1, twc, tws, cos2, sin2 = (jnp.asarray(m) for m in _ct_fwd_mats_np(n_fft))
+    lead = x.shape[:-1]
+    x = x.astype(jnp.float32).reshape(*lead, n1, n2)  # [a, b]
+
+    # stage 1: contract a (dim -2) -> (..., b, d)
+    p = _dot_at(x, cos1, -2, precision)
+    q = -_dot_at(x, sin1, -2, precision)
+    # twiddle (b, d): U = (P + iQ)(cos - i sin)
+    ure = p * twc + q * tws
+    uim = q * twc - p * tws
+    # stage 2: contract b (dim -2) -> (..., d, c)
+    xre = _dot_at(ure, cos2, -2, precision) + _dot_at(uim, sin2, -2, precision)
+    xim = _dot_at(uim, cos2, -2, precision) - _dot_at(ure, sin2, -2, precision)
+    # k = N1*c + d: reorder (..., d, c) -> (..., c, d) -> (..., C2*N1), slice
+    xre = jnp.swapaxes(xre, -1, -2).reshape(*lead, c2 * n1)[..., :n_bins]
+    xim = jnp.swapaxes(xim, -1, -2).reshape(*lead, c2 * n1)[..., :n_bins]
+    return xre, xim
+
+
+def irdft_ct(
+    re: Array,
+    im: Array,
+    n_fft: int,
+    precision: str = "high",
+    window: Array | None = None,
+) -> Array:
+    """Two-stage Cooley-Tukey inverse of :func:`rdft_ct` with 1/N scaling
+    (and optional synthesis-window epilogue)."""
+    n1, n2 = _ct_factors(n_fft)
+    c2 = n2 // 2 + 1
+    n_bins = n_fft // 2 + 1
+    cos1, sin1, twc, tws, cos2, sin2 = (jnp.asarray(m) for m in _ct_fwd_mats_np(n_fft))
+    lead = re.shape[:-1]
+
+    # conjugate-symmetry fold weights + 1/N scaling on the small bin axis
+    w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
+    w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
+    vre = (re.astype(jnp.float32) * w)
+    vim = (im.astype(jnp.float32) * w)
+    pad = c2 * n1 - n_bins
+    vre = jnp.pad(vre, [(0, 0)] * len(lead) + [(0, pad)]).reshape(*lead, c2, n1)
+    vim = jnp.pad(vim, [(0, 0)] * len(lead) + [(0, pad)]).reshape(*lead, c2, n1)
+
+    # stage 1: contract c (dim -2) with e^{+2pi i bc/N2} -> (..., d, b)... the
+    # stage-2 forward matrix transposed: (N2, C2)[b, c] contracted over c.
+    ure = _dot_at(vre, cos2, -2, precision, transpose_b=True) - _dot_at(
+        vim, sin2, -2, precision, transpose_b=True
+    )  # wait: see note below
+    uim = _dot_at(vre, sin2, -2, precision, transpose_b=True) + _dot_at(
+        vim, cos2, -2, precision, transpose_b=True
+    )
+    # ure/uim: (..., d?, b) — contraction over dim -2 (c) leaves (..., n1, n2)
+    # as [d, b]
+    # twiddle e^{+2pi i bd/N}: arranged (d, b) = twc.T/tws.T
+    twcT = twc.T  # (N1, N2) [d, b]
+    twsT = tws.T
+    wre = ure * twcT - uim * twsT
+    wim = ure * twsT + uim * twcT
+    # stage 2: x[N2*a + b] = sum_d wre[d,b] cos(2pi ad/N1) - wim[d,b] sin(...)
+    # contract d (dim -2) with (N1, N1)[a, d] transposed -> (..., b, a)
+    xr = _dot_at(wre, cos1, -2, precision, transpose_b=True) - _dot_at(
+        wim, sin1, -2, precision, transpose_b=True
+    )  # (..., b, a)
+    if window is not None:
+        # window[n], n = N2*a + b -> (a, b) grid -> transpose to (b, a)
+        wmat = window.reshape(n1, n2).T
+        xr = xr * wmat
+    return jnp.swapaxes(xr, -1, -2).reshape(*lead, n_fft)
+
+
+def _dot_at(a: Array, b: Array, dim: int, precision: str, transpose_b: bool = False) -> Array:
+    """dot_general contracting ``a``'s axis ``dim`` with ``b``'s first (or
+    second) axis; the contracted axis's slot moves to the end."""
+    if dim < 0:
+        dim += a.ndim
+    contract = ((dim,), (1 if transpose_b else 0,))
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(contract, ((), ())),
+        precision=_PRECISIONS[precision],
+        preferred_element_type=jnp.float32,
     )

@@ -92,27 +92,42 @@ def window_sumsquare(window: Array, n_frames: int, hop: int, out_len: int) -> Ar
     return overlap_add(w2, hop)[:out_len]
 
 
-def stft(x: Array, cfg: DSPConfig) -> Array:
-    """Centered STFT.  x: (..., n) → complex64 (..., T, n_bins) with
-    ``T = n // hop + 1`` (dsp.hpp:46)."""
+def stft_planes(x: Array, cfg: DSPConfig) -> tuple[Array, Array]:
+    """Centered STFT as (re, im) float32 planes — the native form of the
+    matmul-DFT path, letting the whole pipeline stay in real arithmetic
+    (XLA materializes complex64 as strided pairs; planes avoid the
+    interleave/deinterleave passes)."""
     pad = cfg.pad
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     frames = frame_signal(xp, cfg.n_fft, cfg.hop) * hann_window(cfg.n_fft)
     frames = frames.astype(jnp.float32)
     if _use_matmul_fft(cfg):
-        re, im = mxu_fft.rdft(frames, cfg.n_fft, cfg.dft_precision)
-        return jax.lax.complex(re, im)
-    return jnp.fft.rfft(frames, axis=-1)
+        return mxu_fft.rdft(frames, cfg.n_fft, cfg.dft_precision, cfg.dft_algo)
+    spec = jnp.fft.rfft(frames, axis=-1)
+    return spec.real.astype(jnp.float32), spec.imag.astype(jnp.float32)
 
 
-def istft(spec: Array, n_samples: int, cfg: DSPConfig) -> Array:
-    """Inverse of :func:`stft`.  spec: (..., T, n_bins) → (..., n_samples)
-    (strips the n_fft//2 center padding)."""
-    n_frames = spec.shape[-2]
+def stft(x: Array, cfg: DSPConfig) -> Array:
+    """Centered STFT.  x: (..., n) → complex64 (..., T, n_bins) with
+    ``T = n // hop + 1`` (dsp.hpp:46)."""
+    re, im = stft_planes(x, cfg)
+    return jax.lax.complex(re, im)
+
+
+def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
+    """Inverse STFT from (re, im) planes → (..., n_samples).
+
+    The synthesis window is folded into the inverse-DFT matmul
+    (ops/fft.py irdft ``window=``) instead of a separate full-frame
+    multiply pass — the reference multiplies post-iFFT (dsp.cpp:178-258)."""
+    n_frames = re.shape[-2]
     win = hann_window(cfg.n_fft)
     if _use_matmul_fft(cfg):
-        frames = mxu_fft.irdft(spec.real, spec.imag, cfg.n_fft, cfg.dft_precision) * win
+        frames = mxu_fft.irdft(
+            re, im, cfg.n_fft, cfg.dft_precision, cfg.dft_algo, window=win
+        )
     else:
+        spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
         frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1).astype(jnp.float32) * win
     sig = overlap_add(frames, cfg.hop)
     wss = window_sumsquare(win, n_frames, cfg.hop, sig.shape[-1])
@@ -120,8 +135,23 @@ def istft(spec: Array, n_samples: int, cfg: DSPConfig) -> Array:
     return sig[..., cfg.pad : cfg.pad + n_samples]
 
 
+def istft(spec: Array, n_samples: int, cfg: DSPConfig) -> Array:
+    """Inverse of :func:`stft`.  spec: (..., T, n_bins) → (..., n_samples)
+    (strips the n_fft//2 center padding)."""
+    return istft_planes(spec.real, spec.imag, n_samples, cfg)
+
+
 def magnitude(spec: Array) -> Array:
     return jnp.abs(spec)
+
+
+def unit_phasors(re: Array, im: Array) -> tuple[Array, Array]:
+    """``ref / |ref|`` in planes form, with |ref| = 0 → 1 + 0i (the
+    std::polar(mag, arg(0)=0) convention of dsp.cpp:260-289)."""
+    a2 = re * re + im * im
+    nz = a2 > 0.0
+    rs = jax.lax.rsqrt(jnp.where(nz, a2, 1.0))
+    return jnp.where(nz, re * rs, 1.0), jnp.where(nz, im * rs, 0.0)
 
 
 def polar_to_complex(mag: Array, ref: Array) -> Array:

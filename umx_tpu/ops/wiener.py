@@ -102,3 +102,40 @@ def wiener_filter(
         y = em_iteration(y)
 
     return y * max_abs
+
+
+def _pallas_eligible(cfg: WienerConfig) -> bool:
+    if cfg.psd != "correct":
+        return False  # the umxcpp PSD quirk lives on the einsum path only
+    if cfg.impl in ("pallas", "pallas_interpret"):
+        return True
+    return cfg.impl == "auto" and jax.default_backend() not in ("cpu",)
+
+
+def wiener_filter_planes(
+    xre: Array,
+    xim: Array,
+    target_mags: Array,
+    cfg: WienerConfig,
+) -> tuple[Array, Array]:
+    """Planes-form Wiener filter: (2, T, F) mix re/im + (S, 2, T, F) mags
+    → (yre, yim) each (S, 2, T, F) float32.
+
+    Dispatches to the fused Pallas kernels (ops/wiener_pallas.py) per
+    ``cfg.impl``; the einsum fallback wraps :func:`wiener_filter`.
+    Keeping the pipeline in real planes end to end (STFT → mask → Wiener
+    → iSTFT) removes every complex64 interleave/deinterleave pass.
+    """
+    if _pallas_eligible(cfg):
+        from umx_tpu.ops.wiener_pallas import wiener_planes_pallas
+
+        return wiener_planes_pallas(
+            xre,
+            xim,
+            target_mags,
+            cfg,
+            time_block=cfg.time_block,
+            interpret=cfg.impl == "pallas_interpret",
+        )
+    y = wiener_filter(jax.lax.complex(xre, xim), target_mags, cfg)
+    return y.real, y.imag

@@ -1,0 +1,277 @@
+"""Pallas TPU kernels for the multichannel Wiener-EM post-filter.
+
+The einsum formulation (ops/wiener.py) is algebraically tight but forces
+XLA to materialize every intermediate of the chain — initial complex
+estimates y = mag*unit(x) (340 MB at a 60 s segment), scaled copies,
+per-stage einsum outputs — so the stage is HBM-bound at ~6x more traffic
+than the math needs.  These kernels collapse one EM iteration into two
+passes (reference semantics: wiener.cpp:92-425, one iteration by default,
+wiener.hpp:13):
+
+* **reduce** — one sweep over time blocks accumulating the per-source
+  spatial-covariance statistics R_acc(s, f) = sum_t y y* (packed as 4 real
+  planes per source: R00, R11, Re R01, Im R01 — R is 2x2 Hermitian).  For
+  the FIRST iteration the initial estimates never exist in memory: since
+  y = mag * unit(x), the kernel reads the mask magnitudes and the mix
+  spectrogram directly (|y|^2 = mag^2, y_c y_d* = mag_c mag_d u_c u_d*).
+* **apply** — one sweep computing, per (t, f): source PSDs v_s, the mix
+  covariance Cxx = sum_s v_s R_s + reg*I, its analytic Hermitian 2x2
+  inverse, z = Cxx^-1 x (source-independent factorization), and the new
+  estimates y_sc = v_s (R_s[c,0] z0 + R_s[c,1] z1).
+
+Everything is real-pair arithmetic on (time_block, F) planes — F rides the
+128-wide lanes — with the frequency axis zero-padded to a lane multiple
+(padded bins have v = 0 and produce exact zeros).  Iterations >= 2 use the
+same kernels reading the previous iteration's y planes.
+
+Traffic per EM-1 segment: reduce reads mags+x once (~255 MB), apply reads
+them again and writes y (~595 MB) — ~0.9 GB total vs ~5+ GB for the
+einsum chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from umx_tpu.config import WienerConfig
+from umx_tpu.ops.stft import unit_phasors as _unit_phasors
+
+Array = jax.Array
+
+_LANES = 128
+
+
+def _pad_to(x: Array, axis: int, mult: int) -> Array:
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _make_reduce_kernel(n_sources: int, from_mags: bool):
+    def accumulate(y_planes, racc_ref, b):
+        rows = []
+        for s in range(n_sources):
+            yre0, yim0, yre1, yim1 = y_planes(s)
+            r00 = jnp.sum(yre0 * yre0 + yim0 * yim0, axis=0, keepdims=True)
+            r11 = jnp.sum(yre1 * yre1 + yim1 * yim1, axis=0, keepdims=True)
+            r01re = jnp.sum(yre0 * yre1 + yim0 * yim1, axis=0, keepdims=True)
+            r01im = jnp.sum(yim0 * yre1 - yre0 * yim1, axis=0, keepdims=True)
+            rows.extend([r00, r11, r01re, r01im])
+        partial = jnp.concatenate(rows, axis=0)  # (4*S, F)
+
+        @pl.when(b == 0)
+        def _():
+            racc_ref[:] = jnp.zeros_like(racc_ref)
+
+        racc_ref[:] += partial
+
+    if from_mags:
+
+        def kernel(xre_ref, xim_ref, mag_ref, scale_ref, racc_ref):
+            inv_ma = scale_ref[0, 0]
+            ure0, uim0 = _unit_phasors(xre_ref[0], xim_ref[0])
+            ure1, uim1 = _unit_phasors(xre_ref[1], xim_ref[1])
+
+            def y_planes(s):
+                m0 = mag_ref[s, 0] * inv_ma
+                m1 = mag_ref[s, 1] * inv_ma
+                return m0 * ure0, m0 * uim0, m1 * ure1, m1 * uim1
+
+            accumulate(y_planes, racc_ref, pl.program_id(0))
+
+    else:
+
+        def kernel(yre_ref, yim_ref, racc_ref):
+            def y_planes(s):
+                return yre_ref[s, 0], yim_ref[s, 0], yre_ref[s, 1], yim_ref[s, 1]
+
+            accumulate(y_planes, racc_ref, pl.program_id(0))
+
+    return kernel
+
+
+def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
+    def apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref):
+        x0re = xre_ref[0] * inv_ma
+        x0im = xim_ref[0] * inv_ma
+        x1re = xre_ref[1] * inv_ma
+        x1im = xim_ref[1] * inv_ma
+
+        vs, r00s, r11s, r01res, r01ims = [], [], [], [], []
+        c00 = jnp.full_like(x0re, reg)
+        c11 = jnp.full_like(x0re, reg)
+        c01re = jnp.zeros_like(x0re)
+        c01im = jnp.zeros_like(x0re)
+        for s in range(n_sources):
+            racc = racc_ref[4 * s : 4 * s + 4]  # (4, F); rows kept 2D
+            w = eps + 0.5 * (racc[0:1] + racc[1:2])  # sum_t v_s, (1, F)
+            inv_w = 1.0 / w
+            r00 = racc[0:1] * inv_w  # (1, F), broadcast over time rows
+            r11 = racc[1:2] * inv_w
+            r01re = racc[2:3] * inv_w
+            r01im = racc[3:4] * inv_w
+            v = v_of(s)
+            c00 += v * r00
+            c11 += v * r11
+            c01re += v * r01re
+            c01im += v * r01im
+            vs.append(v)
+            r00s.append(r00)
+            r11s.append(r11)
+            r01res.append(r01re)
+            r01ims.append(r01im)
+
+        # Hermitian 2x2 inverse: det is real
+        det = c00 * c11 - (c01re * c01re + c01im * c01im)
+        idet = 1.0 / det
+        # z = Cxx^-1 x  (source-independent)
+        z0re = (c11 * x0re - (c01re * x1re - c01im * x1im)) * idet
+        z0im = (c11 * x0im - (c01re * x1im + c01im * x1re)) * idet
+        z1re = (c00 * x1re - (c01re * x0re + c01im * x0im)) * idet
+        z1im = (c00 * x1im - (c01re * x0im - c01im * x0re)) * idet
+
+        ma = 1.0 / inv_ma
+        for s in range(n_sources):
+            v = vs[s] * ma
+            r00, r11 = r00s[s], r11s[s]
+            r01re, r01im = r01res[s], r01ims[s]
+            # y_s0 = v (R00 z0 + R01 z1); y_s1 = v (conj(R01) z0 + R11 z1)
+            yre_ref[s, 0] = v * (r00 * z0re + r01re * z1re - r01im * z1im)
+            yim_ref[s, 0] = v * (r00 * z0im + r01re * z1im + r01im * z1re)
+            yre_ref[s, 1] = v * (r01re * z0re + r01im * z0im + r11 * z1re)
+            yim_ref[s, 1] = v * (r01re * z0im - r01im * z0re + r11 * z1im)
+
+    if from_mags:
+
+        def kernel(xre_ref, xim_ref, mag_ref, racc_ref, scale_ref, yre_ref, yim_ref):
+            inv_ma = scale_ref[0, 0]
+            sq = inv_ma * inv_ma
+
+            def v_of(s):
+                m0 = mag_ref[s, 0]
+                m1 = mag_ref[s, 1]
+                return 0.5 * sq * (m0 * m0 + m1 * m1)
+
+            apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref)
+
+    else:
+
+        def kernel(
+            xre_ref, xim_ref, yre_in_ref, yim_in_ref, racc_ref, scale_ref, yre_ref, yim_ref
+        ):
+            inv_ma = scale_ref[0, 0]
+
+            def v_of(s):
+                a = yre_in_ref[s, 0]
+                b = yim_in_ref[s, 0]
+                c = yre_in_ref[s, 1]
+                d = yim_in_ref[s, 1]
+                return 0.5 * (a * a + b * b + c * c + d * d)
+
+            apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "time_block", "interpret"))
+def wiener_planes_pallas(
+    xre: Array,
+    xim: Array,
+    target_mags: Array,
+    cfg: WienerConfig,
+    time_block: int = 64,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """EM-refined source estimates as (re, im) planes.
+
+    xre/xim: (2, T, F) float32 mix spectrogram planes;
+    target_mags: (S, 2, T, F) float32.  Returns (yre, yim) each
+    (S, 2, T, F) float32.  Implements ``psd="correct"`` semantics only
+    (the einsum path keeps the umxcpp PSD-quirk A/B flag).
+    """
+    S, C, T, F = target_mags.shape
+    assert C == 2, "wiener kernels are specialized to stereo"
+
+    max_abs = jnp.maximum(1.0, jnp.max(jnp.sqrt(xre * xre + xim * xim)) / cfg.scale_factor)
+    inv_ma = (1.0 / max_abs).reshape(1, 1).astype(jnp.float32)
+
+    xre_p = _pad_to(_pad_to(xre.astype(jnp.float32), -1, _LANES), -2, time_block)
+    xim_p = _pad_to(_pad_to(xim.astype(jnp.float32), -1, _LANES), -2, time_block)
+    mags_p = _pad_to(_pad_to(target_mags.astype(jnp.float32), -1, _LANES), -2, time_block)
+    Tp, Fp = xre_p.shape[-2:]
+    K = min(time_block, Tp)
+    n_blocks = Tp // K
+    reg = float(cfg.eps) ** 0.5
+
+    x_spec = pl.BlockSpec((2, K, Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((S, 2, K, Fp), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
+    racc_spec = pl.BlockSpec((4 * S, Fp), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    racc_shape = jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32)
+    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, Fp), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def reduce_mags(xre_p, xim_p, mags_p):
+        return pl.pallas_call(
+            _make_reduce_kernel(S, from_mags=True),
+            grid=(n_blocks,),
+            in_specs=[x_spec, x_spec, y_spec, scale_spec],
+            out_specs=racc_spec,
+            out_shape=racc_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(xre_p, xim_p, mags_p, inv_ma)
+
+    def reduce_y(yre, yim):
+        return pl.pallas_call(
+            _make_reduce_kernel(S, from_mags=False),
+            grid=(n_blocks,),
+            in_specs=[y_spec, y_spec],
+            out_specs=racc_spec,
+            out_shape=racc_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(yre, yim)
+
+    def apply_mags(racc):
+        return pl.pallas_call(
+            _make_apply_kernel(S, True, float(cfg.eps), reg),
+            grid=(n_blocks,),
+            in_specs=[x_spec, x_spec, y_spec, racc_spec, scale_spec],
+            out_specs=[y_spec, y_spec],
+            out_shape=[y_shape, y_shape],
+            compiler_params=params,
+            interpret=interpret,
+        )(xre_p, xim_p, mags_p, racc, inv_ma)
+
+    def apply_y(yre, yim, racc):
+        return pl.pallas_call(
+            _make_apply_kernel(S, False, float(cfg.eps), reg),
+            grid=(n_blocks,),
+            in_specs=[x_spec, x_spec, y_spec, y_spec, racc_spec, scale_spec],
+            out_specs=[y_spec, y_spec],
+            out_shape=[y_shape, y_shape],
+            compiler_params=params,
+            interpret=interpret,
+        )(xre_p, xim_p, yre, yim, racc, inv_ma)
+
+    racc = reduce_mags(xre_p, xim_p, mags_p)
+    yre, yim = apply_mags(racc)
+    for _ in range(cfg.iterations - 1):
+        # later iterations read the previous y; rescale to the working
+        # (divided-by-max_abs) frame first — apply emits y * max_abs
+        yre_s = yre * inv_ma[0, 0]
+        yim_s = yim * inv_ma[0, 0]
+        racc = reduce_y(yre_s, yim_s)
+        yre, yim = apply_y(yre_s, yim_s, racc)
+
+    return yre[:, :, :T, :F], yim[:, :, :T, :F]
