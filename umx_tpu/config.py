@@ -35,8 +35,10 @@ class DSPConfig:
     dft_precision: Literal["highest", "high", "default"] = "high"
     # Matmul-DFT algorithm: "dense" = one (n_fft, n_bins) matmul pair;
     # "ct" = two-stage (128x32) Cooley-Tukey factorization — ~12x fewer
-    # MXU FLOPs at the same accuracy class (ops/fft.py).
-    dft_algo: Literal["dense", "ct"] = "ct"
+    # MXU FLOPs at the same accuracy class (ops/fft.py), but its
+    # relayout passes currently make it slower on-chip (PERF.md) so
+    # dense stays the default.
+    dft_algo: Literal["dense", "ct"] = "dense"
 
     @property
     def n_bins(self) -> int:
