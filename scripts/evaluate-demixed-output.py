@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--win", type=float, default=1.0, help="window seconds")
     p.add_argument("--flen", type=int, default=512, help="projection filter length")
     p.add_argument("--json", type=Path, default=None, help="also write results as JSON")
+    p.add_argument("--mode", choices=("v4", "v3"), default="v4",
+                   help="v4 = museval default (global filters); v3 = per-window filters")
     args = p.parse_args(argv)
 
     from umx_tpu.eval.bss import bss_eval_images_framewise
@@ -45,7 +47,9 @@ def main(argv=None) -> int:
     estimates = np.stack([e[:, :n] for e in ests]).astype(np.float64)
 
     win = int(args.win * 44100)
-    res = bss_eval_images_framewise(references, estimates, window=win, hop=win, flen=args.flen)
+    res = bss_eval_images_framewise(
+        references, estimates, window=win, hop=win, flen=args.flen, mode=args.mode
+    )
 
     print(f"{'stem':<8} {'SDR':>8} {'ISR':>8} {'SIR':>8} {'SAR':>8}")
     for j, t in enumerate(TARGETS):

@@ -83,7 +83,31 @@ def main() -> int:
         leaves = jax.tree.leaves(x)
         return float(jnp.sum(leaves[0]))
 
-    def timeit(fn, *a):
+    R_INNER = int(os.environ.get("UMX_ROOFLINE_INNER", "6"))
+
+    def timeit(stage, *a):
+        """Median wall time of one stage application, measured with
+        R_INNER applications INSIDE one jitted program (array inputs
+        perturbed per rep to defeat CSE) — the tunneled backend has a
+        ~3 ms per-dispatch floor that would otherwise swamp 5-20 ms
+        stages."""
+
+        def many(*a):
+            acc = None
+            for i in range(R_INNER):
+                perturbed = tuple(
+                    x * (1.0 + 1e-7 * (i + 1))
+                    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x
+                    for x in a
+                )
+                out = stage(*perturbed)
+                first = jax.tree.leaves(out)[0]
+                s = jnp.sum(first)
+                acc = s if acc is None else acc + s
+            return acc
+
+        fn = jax.jit(many)
         out = fn(*a)
         drain(out)  # compile + first run
         for _ in range(2):
@@ -95,7 +119,7 @@ def main() -> int:
                 out = fn(*a)
             drain(out)
             walls.append((time.perf_counter() - t0) / args.reps)
-        return sorted(walls)[1]
+        return sorted(walls)[1] / R_INNER
 
     rows = []
 
@@ -198,8 +222,10 @@ def main() -> int:
     if "pipeline" in want:
         from umx_tpu.engine.separator import segment_forward
 
-        fn = lambda a, st: segment_forward(params, a, st, cfg, n)  # noqa: E731
-        ms = timeit(fn, audio, state) * 1000
+        # params must be an ARGUMENT (closed-over arrays become inlined
+        # constants -> remote-compile request size limit)
+        fn = lambda p, a, st: segment_forward(p, a, st, cfg, n)  # noqa: E731
+        ms = timeit(fn, params, audio, state) * 1000
         report("segment_pipeline", ms, 0.0, 0.0,
                note=f"xRT={args.seg_secs / (ms / 1000):.0f}")
 
