@@ -96,3 +96,46 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(server + "/nope", timeout=60)
     assert exc.value.code == 404
+
+
+def test_concurrent_requests_batch_on_device(server):
+    """4 simultaneous /demix requests must all succeed and the service's
+    batcher must have coalesced segments from different requests into
+    shared device calls (the round-1 serialization lock is gone)."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(9)
+    payloads = []
+    for _ in range(4):
+        buf = io.BytesIO()
+        wavfile.write(buf, 44100, rng.uniform(-0.5, 0.5, (55125, 2)).astype(np.float32))
+        payloads.append(buf.getvalue())
+
+    # warm the compiled programs so coalescing isn't disturbed by compiles
+    urllib.request.urlopen(server + "/warmup", timeout=600).read()
+    req0 = urllib.request.Request(
+        server + "/demix?shifts=0", data=payloads[0], method="POST"
+    )
+    urllib.request.urlopen(req0, timeout=600).read()
+    _, before = _get(server + "/info")
+
+    results = [None] * 4
+    def post(i):
+        req = urllib.request.Request(
+            server + "/demix?shifts=0", data=payloads[i], method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            results[i] = (r.status, r.read())
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None and r[0] == 200 for r in results)
+
+    _, after = _get(server + "/info")
+    new_jobs = after["batching"]["jobs"] - before["batching"]["jobs"]
+    new_calls = after["batching"]["device_calls"] - before["batching"]["device_calls"]
+    assert new_calls < new_jobs, (before, after)  # coalescing happened
+    assert after["batching"]["max_batch_observed"] >= 2

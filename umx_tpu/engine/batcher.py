@@ -1,0 +1,142 @@
+"""Cross-request segment batching for serving.
+
+The reference binary serves one file per process run; round 1's HTTP
+service serialized whole tracks behind one lock.  This batcher removes
+the lock from the hot path: every in-flight request decomposes into
+per-segment jobs (audio chunk + its own LSTM carry), a single worker
+thread coalesces jobs from DIFFERENT requests into one vmapped device
+call, and each request's streaming-state chain stays intact because a
+request only ever has one job in flight at a time.
+
+Why this batches well on TPU: the BLSTM recurrence cost is a latency
+floor independent of batch width (PERF.md microbenchmark — extra rows
+through the same weights are free), so N concurrent tracks' segments
+cost nearly the same wall time as one.
+
+Batch sizes are padded to {1, max_batch} so exactly two programs
+compile per (cfg, segment-length) key — compiles are minutes on remote
+backends, so per-size recompiles are not acceptable.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from umx_tpu.config import EngineConfig
+from umx_tpu.engine.separator import _device_cfg, _segment_forward_impl
+
+
+@dataclass
+class BatcherStats:
+    jobs: int = 0
+    device_calls: int = 0
+    max_batch_observed: int = 0
+    batch_sizes: list = field(default_factory=list)
+
+
+class SegmentBatcher:
+    """Coalesces segment_forward jobs from concurrent requests into
+    batched device calls.
+
+    Usage: ``out, new_state = batcher.run(params, audio, state, cfg, n)``
+    — a drop-in for ``segment_forward`` that may share its device call
+    with other threads' jobs of the same (cfg, n) shape.
+    """
+
+    def __init__(self, max_batch: int = 4, max_wait_ms: float = 5.0):
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._fns: dict[Any, Any] = {}
+        self.stats = BatcherStats()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._stop = False
+        self._worker.start()
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    # -- request side -------------------------------------------------------
+
+    def run(self, params, audio, state, cfg: EngineConfig, n_samples: int):
+        fut: Future = Future()
+        key = (_device_cfg(cfg), n_samples)
+        self._q.put((key, params, audio, state, fut))
+        return fut.result()
+
+    # -- worker side --------------------------------------------------------
+
+    def _batched_fn(self, key, batch_size: int):
+        cache_key = (key, batch_size)
+        if cache_key not in self._fns:
+            cfg, n = key
+
+            def one(p, a, s):
+                return _segment_forward_impl(p, a, s, cfg, n)
+
+            self._fns[cache_key] = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+        return self._fns[cache_key]
+
+    def _loop(self):
+        while not self._stop:
+            item = self._q.get()
+            if item is None:
+                continue
+            key = item[0]
+            group = [item]
+            if self.max_batch > 1:
+                # coalesce same-shaped jobs briefly; park the rest
+                import time
+
+                deadline = time.monotonic() + self.max_wait_s
+                parked = []
+                while len(group) < self.max_batch:
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        continue
+                    if nxt[0] == key:
+                        group.append(nxt)
+                    else:
+                        parked.append(nxt)
+                for p in parked:
+                    self._q.put(p)
+            try:
+                self._execute(key, group)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for _, _, _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _execute(self, key, group):
+        B = len(group)
+        params = group[0][1]
+        # pad to a compiled size: 1 stays 1, anything larger pads to
+        # max_batch (exactly two programs per key)
+        size = 1 if B == 1 else self.max_batch
+        audios = [g[2] for g in group] + [group[0][2]] * (size - B)
+        states = [g[3] for g in group] + [group[0][3]] * (size - B)
+        audio_b = jnp.stack([jnp.asarray(a, jnp.float32) for a in audios])
+        state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        out_b, new_state_b = self._batched_fn(key, size)(params, audio_b, state_b)
+        self.stats.jobs += B
+        self.stats.device_calls += 1
+        self.stats.batch_sizes.append(B)
+        self.stats.max_batch_observed = max(self.stats.max_batch_observed, B)
+        for i, (_, _, _, _, fut) in enumerate(group):
+            st_i = jax.tree.map(lambda x, i=i: x[i], new_state_b)
+            fut.set_result((out_b[i], st_i))

