@@ -18,6 +18,8 @@
 
 #include <zlib.h>
 
+#include "umxio_internal.hpp"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -309,6 +311,24 @@ const float *umxio_tensor_data(void *h, int i) {
     return static_cast<Model *>(h)->tensors[static_cast<size_t>(i)].data.data();
 }
 void umxio_model_free(void *h) { delete static_cast<Model *>(h); }
+
+void *umxio_read_flac(const char *path) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw)) return nullptr;
+    WavData d;
+    std::string err;
+    if (!decode_flac(raw, &d, &err)) {
+        std::fprintf(stderr, "umxio: flac decode failed for %s: %s\n", path,
+                     err.c_str());
+        return nullptr;
+    }
+    auto w = new Wav();
+    w->frames = d.frames;
+    w->channels = d.channels;
+    w->rate = d.sample_rate;
+    w->data = std::move(d.samples);
+    return w;
+}
 
 void *umxio_read_wav(const char *path) {
     std::vector<uint8_t> raw;

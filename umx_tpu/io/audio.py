@@ -42,9 +42,25 @@ def load_audio(path: str, expected_rate: int = 44100, resample: bool = False) ->
     exit(1).  With ``resample`` (beyond the reference, which hard-rejects
     other rates), inputs are polyphase-resampled to ``expected_rate``.
     """
-    decoded = native.read_wav_native(path)
-    if decoded is None:
-        decoded = _decode_scipy(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"fLaC":
+        decoded = native.read_flac_native(path)
+        if decoded is None:
+            raise UnsupportedAudio(
+                f"{path}: FLAC decoding requires the native library "
+                "(build it with `make -C native`)"
+            )
+    elif magic == b"OggS":
+        # deliberate capability rejection: OGG/Vorbis is a lossy codec
+        # with no role in the MUSDB evaluation chain (see docs/)
+        raise UnsupportedAudio(
+            f"{path}: OGG is not supported (lossy codec); supply WAV or FLAC"
+        )
+    else:
+        decoded = native.read_wav_native(path)
+        if decoded is None:
+            decoded = _decode_scipy(path)
     data, rate = decoded
     if rate != expected_rate:
         if not resample:

@@ -58,6 +58,8 @@ def _declare(lib):
 
     lib.umxio_read_wav.restype = ctypes.c_void_p
     lib.umxio_read_wav.argtypes = [ctypes.c_char_p]
+    lib.umxio_read_flac.restype = ctypes.c_void_p
+    lib.umxio_read_flac.argtypes = [ctypes.c_char_p]
     lib.umxio_wav_num_frames.restype = ctypes.c_int64
     lib.umxio_wav_num_frames.argtypes = [ctypes.c_void_p]
     lib.umxio_wav_num_channels.restype = ctypes.c_int
@@ -140,6 +142,27 @@ def read_wav_native(path: str):
     handle = lib.umxio_read_wav(path.encode())
     if not handle:
         return None
+    try:
+        frames = lib.umxio_wav_num_frames(handle)
+        ch = lib.umxio_wav_num_channels(handle)
+        rate = lib.umxio_wav_sample_rate(handle)
+        ptr = lib.umxio_wav_data(handle)
+        data = np.ctypeslib.as_array(ptr, shape=(frames * ch,)).reshape(frames, ch).copy()
+        return data, rate
+    finally:
+        lib.umxio_wav_free(handle)
+
+
+def read_flac_native(path: str):
+    """Decode a FLAC file with the native decoder (native/flac.cpp) →
+    (data (frames, ch) float32, rate).  Returns None when the native
+    library is not built; raises on a malformed stream."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    handle = lib.umxio_read_flac(path.encode())
+    if not handle:
+        raise IOError(f"FLAC decode failed for {path}")
     try:
         frames = lib.umxio_wav_num_frames(handle)
         ch = lib.umxio_wav_num_channels(handle)
