@@ -11,10 +11,12 @@ from umx_tpu.config import WienerConfig
 from umx_tpu.ops.wiener import wiener_filter
 
 
-def numpy_wiener_oracle(mix, mags, iterations=1, eps=1e-10, scale_factor=10.0):
+def numpy_wiener_oracle(mix, mags, iterations=1, eps=1e-10, scale_factor=10.0, psd="correct"):
     """Straight-line numpy EM, written independently of the JAX version.
 
     mix: (2, T, F) complex; mags: (S, 2, T, F) float.
+    ``psd="umxcpp"`` reproduces the reference's PSD quirk
+    (wiener.cpp:185-204: v = mean_c ((re+im))^2 instead of |y|^2).
     """
     S = mags.shape[0]
     T, F = mix.shape[1], mix.shape[2]
@@ -28,7 +30,10 @@ def numpy_wiener_oracle(mix, mags, iterations=1, eps=1e-10, scale_factor=10.0):
 
     for _ in range(iterations):
         # PSD: average |y|^2 over channels -> (S, T, F)
-        v = np.mean(np.abs(y) ** 2, axis=1)
+        if psd == "umxcpp":
+            v = np.mean((y.real + y.imag) ** 2, axis=1)
+        else:
+            v = np.mean(np.abs(y) ** 2, axis=1)
         # spatial covariance per source: (S, F, 2, 2)
         R = np.zeros((S, F, 2, 2), np.complex128)
         for s in range(S):
@@ -108,14 +113,21 @@ def test_single_dominant_source_takes_mix():
     assert np.abs(out[[0, 1, 3]]).max() < 1e-3 * np.abs(mix).max()
 
 
-def test_scaling_invariance_of_quirk_flag(spec_data):
-    """The umxcpp PSD quirk path must still produce finite output of the
-    right shape (kept for A/B comparison with the reference)."""
+def test_umxcpp_quirk_matches_oracle(spec_data):
+    """The umxcpp PSD quirk path validated against the independent numpy
+    oracle carrying the same quirk (round-1 VERDICT: this path was
+    smoke-tested only; a regression would have passed CI)."""
     mix, mags = spec_data
     cfg = dataclasses.replace(WienerConfig(), psd="umxcpp")
-    out = np.asarray(wiener_filter(mix, mags, cfg))
-    assert out.shape == mags.shape
-    assert np.isfinite(out).all()
+    ours = np.asarray(wiener_filter(mix, mags, cfg))
+    ref = numpy_wiener_oracle(
+        mix, mags, cfg.iterations, cfg.eps, cfg.scale_factor, psd="umxcpp"
+    )
+    scale = np.abs(mix).max()
+    np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
+    # and the quirk path must genuinely differ from the correct-PSD path
+    correct = np.asarray(wiener_filter(mix, mags, WienerConfig()))
+    assert np.abs(ours - correct).max() > 1e-3 * scale
 
 
 def _planes(mix):
