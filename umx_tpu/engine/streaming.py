@@ -18,11 +18,38 @@ one weighted-accumulation window, both rolling by the stride.
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.engine.separator import _transition_weight, segment_forward
+from umx_tpu.engine.separator import (
+    _device_cfg,
+    _segment_forward_impl,
+    _transition_weight,
+)
 from umx_tpu.models.umx import UMXParams, init_lstm_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "seg", "stride"), donate_argnums=(3, 4))
+def _segment_accum_emit(params, chunk, state, acc, wacc, cfg: EngineConfig, seg: int, stride: int):
+    """One streaming step as ONE device program: demix the segment,
+    weighted-accumulate, finalize the first ``stride`` samples, and roll
+    the windows.  Only the finalized block crosses back to the host —
+    the round-1 implementation pulled the full segment output per step
+    (~84 MB vs ~63 MB here, and no host-side math)."""
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    out, new_state = _segment_forward_impl(params, chunk, state, cfg, seg)
+    acc = acc + weight * out
+    wacc = wacc + weight
+    block = acc[..., :stride] / jnp.maximum(wacc[:stride], 1e-12)
+    acc = jnp.concatenate(
+        [acc[..., stride:], jnp.zeros((*acc.shape[:-1], stride), acc.dtype)], axis=-1
+    )
+    wacc = jnp.concatenate([wacc[stride:], jnp.zeros((stride,), wacc.dtype)])
+    return block, acc, wacc, new_state
 
 
 class StreamingDemixer:
@@ -33,14 +60,13 @@ class StreamingDemixer:
         self.seg = cfg.segment.segment_samples(sr)
         self.stride = cfg.segment.stride_samples(sr)
         self.n_targets = cfg.model.n_targets
-        self._weight = np.asarray(_transition_weight(self.seg, cfg.segment.transition_power))
         self.reset()
 
     def reset(self):
         self._state = init_lstm_state(self.cfg.model)
         self._in = np.zeros((2, 0), np.float32)  # samples not yet emitted
-        self._acc = np.zeros((self.n_targets, 2, self.seg), np.float32)
-        self._wacc = np.zeros((self.seg,), np.float32)
+        self._acc = jnp.zeros((self.n_targets, 2, self.seg), jnp.float32)
+        self._wacc = jnp.zeros((self.seg,), jnp.float32)
         self._pushed = 0  # total samples received
         self._emitted = 0  # total samples emitted
 
@@ -50,27 +76,24 @@ class StreamingDemixer:
         demixed value (one segment)."""
         return self.seg
 
-    def _run_segment(self, chunk: np.ndarray) -> None:
-        out, new_state = segment_forward(
-            self.params, chunk, self._state, self.cfg, self.seg
+    def _emit_block(self, chunk: np.ndarray) -> np.ndarray:
+        """Run one segment on device (demix + accumulate + finalize in a
+        single program), roll the host input window, return the block."""
+        block, self._acc, self._wacc, new_state = _segment_accum_emit(
+            self.params,
+            jnp.asarray(chunk),
+            self._state,
+            self._acc,
+            self._wacc,
+            _device_cfg(self.cfg),
+            self.seg,
+            self.stride,
         )
         if self.cfg.segment.streaming:
             self._state = new_state
-        self._acc += self._weight * np.asarray(out)
-        self._wacc += self._weight
-
-    def _emit_block(self) -> np.ndarray:
-        """Finalize and return the first ``stride`` samples of the
-        accumulation window, then roll everything forward."""
-        R = self.stride
-        block = self._acc[..., :R] / np.maximum(self._wacc[:R], 1e-12)
-        self._acc = np.concatenate(
-            [self._acc[..., R:], np.zeros((self.n_targets, 2, R), np.float32)], axis=-1
-        )
-        self._wacc = np.concatenate([self._wacc[R:], np.zeros((R,), np.float32)])
-        self._in = self._in[:, R:]
-        self._emitted += R
-        return block
+        self._in = self._in[:, self.stride :]
+        self._emitted += self.stride
+        return np.asarray(block)
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (2, n) samples; returns (n_targets, 2, m) finalized stems
@@ -83,8 +106,7 @@ class StreamingDemixer:
 
         blocks = []
         while self._in.shape[1] >= self.seg:
-            self._run_segment(self._in[:, : self.seg])
-            blocks.append(self._emit_block())
+            blocks.append(self._emit_block(self._in[:, : self.seg]))
         if blocks:
             return np.concatenate(blocks, axis=-1)
         return np.zeros((self.n_targets, 2, 0), np.float32)
@@ -98,8 +120,7 @@ class StreamingDemixer:
         while self._emitted < total:
             pending = self._in.shape[1]  # == total - self._emitted < seg
             padded = np.pad(self._in, ((0, 0), (0, self.seg - pending)))
-            self._run_segment(padded)
-            blocks.append(self._emit_block())
+            blocks.append(self._emit_block(padded))
         if not blocks:
             return np.zeros((self.n_targets, 2, 0), np.float32)
         out = np.concatenate(blocks, axis=-1)
