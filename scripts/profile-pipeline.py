@@ -29,7 +29,7 @@ def main() -> int:
     from umx_tpu.engine.separator import apply_masks, crop_stack
     from umx_tpu.models.umx import init_lstm_state, synthetic_params, umx_forward
     from umx_tpu.ops import stft as stft_ops
-    from umx_tpu.ops.wiener import wiener_filter_planes
+    from umx_tpu.ops.wiener import wiener_filter_masks
 
     seg_secs = float(os.environ.get("UMX_PROF_SECS", "60"))
     cfg = EngineConfig(segment=SegmentConfig(segment_secs=seg_secs))
@@ -99,16 +99,14 @@ def main() -> int:
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
         masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
-        tm = apply_masks(masks, mag, mcfg.n_bins)
-        return wiener_filter_planes(re, im, tm, cfg.wiener)
+        return wiener_filter_masks(re, im, masks, mcfg.n_bins, cfg.wiener)
 
     def p_full(p, a, st):
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
         masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
-        tm = apply_masks(masks, mag, mcfg.n_bins)
-        tre, tim = wiener_filter_planes(re, im, tm, cfg.wiener)
+        tre, tim = wiener_filter_masks(re, im, masks, mcfg.n_bins, cfg.wiener)
         return stft_ops.istft_planes(tre, tim, n, dcfg)
 
     prefixes = [

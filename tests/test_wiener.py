@@ -190,3 +190,44 @@ def test_planes_dispatcher_einsum_fallback(spec_data):
     yre, yim = wiener_filter_planes(mix.real.copy(), mix.imag.copy(), mags, cfg)
     ref = np.asarray(wiener_filter(mix, mags, cfg))
     np.testing.assert_allclose(np.asarray(yre) + 1j * np.asarray(yim), ref, atol=1e-6)
+
+
+def test_pallas_from_masks_matches_oracle(spec_data):
+    # the segment-pipeline hot path: masks in network layout, initial
+    # estimate y = mask * x formed in-kernel
+    from umx_tpu.ops.wiener import wiener_filter_masks
+
+    mix, mags = spec_data
+    S, _, T, F = mags.shape
+    mag = np.abs(mix)
+    # network-layout masks consistent with the target magnitudes
+    masks = (mags / np.maximum(mag[None], 1e-12)).transpose(0, 2, 1, 3).reshape(S, T, 2 * F)
+    cfg_p = dataclasses.replace(WienerConfig(), impl="pallas_interpret", time_block=8)
+    yre, yim = wiener_filter_masks(
+        mix.real.copy(), mix.imag.copy(), masks.astype(np.float32), F, cfg_p
+    )
+    ours = np.asarray(yre) + 1j * np.asarray(yim)
+    ref = numpy_wiener_oracle(mix, (masks.reshape(S, T, 2, F).transpose(0, 2, 1, 3) * mag[None]).astype(np.float32),
+                              1, cfg_p.eps, cfg_p.scale_factor)
+    scale = np.abs(mix).max()
+    np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pallas_from_masks_two_iterations(spec_data):
+    from umx_tpu.ops.wiener import wiener_filter_masks
+
+    mix, mags = spec_data
+    S, _, T, F = mags.shape
+    mag = np.abs(mix)
+    masks = (mags / np.maximum(mag[None], 1e-12)).transpose(0, 2, 1, 3).reshape(S, T, 2 * F)
+    cfg_p = dataclasses.replace(
+        WienerConfig(iterations=2), impl="pallas_interpret", time_block=8
+    )
+    yre, yim = wiener_filter_masks(
+        mix.real.copy(), mix.imag.copy(), masks.astype(np.float32), F, cfg_p
+    )
+    ours = np.asarray(yre) + 1j * np.asarray(yim)
+    tm = (masks.reshape(S, T, 2, F).transpose(0, 2, 1, 3) * mag[None]).astype(np.float32)
+    ref = numpy_wiener_oracle(mix, tm, 2, cfg_p.eps, cfg_p.scale_factor)
+    scale = np.abs(mix).max()
+    np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)

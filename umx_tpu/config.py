@@ -110,8 +110,9 @@ class WienerConfig:
     # runs the kernels in the Pallas interpreter (CPU tests); "auto"
     # picks pallas on TPU backends when psd == "correct".
     impl: Literal["auto", "einsum", "pallas", "pallas_interpret"] = "auto"
-    # time rows per Pallas grid step
-    time_block: int = 64
+    # time rows per Pallas grid step (136 divides the production 60 s
+    # segment's 2584 frames -> zero time padding)
+    time_block: int = 136
 
 
 @dataclasses.dataclass(frozen=True)

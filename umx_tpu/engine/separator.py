@@ -30,7 +30,7 @@ import numpy as np
 from umx_tpu.config import EngineConfig
 from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
 from umx_tpu.ops import stft as stft_ops
-from umx_tpu.ops.wiener import wiener_filter_planes
+from umx_tpu.ops.wiener import wiener_filter_masks
 
 Array = jax.Array
 
@@ -74,16 +74,21 @@ def _segment_forward_impl(
     x = crop_stack(mag, mcfg.nb_bins_cropped)
     masks, new_state = umx_forward(params, x, state, mcfg, cfg.compute_dtype)
 
-    target_mags = apply_masks(masks, mag, mcfg.n_bins)  # (T#, 2, T, F)
-
     if cfg.use_wiener:
-        tre, tim = wiener_filter_planes(re, im, target_mags, cfg.wiener)
+        # masks go straight into the filter in network layout — the
+        # (T#, 2, T, F) magnitude tensor never materializes on the
+        # Pallas path (y_init = mask * x algebraically)
+        tre, tim = wiener_filter_masks(re, im, masks, mcfg.n_bins, cfg.wiener)
     else:
         # naive mix-phase reconstruction (the reference's original
-        # no-wiener release, README.md:38-44)
-        ure, uim = stft_ops.unit_phasors(re, im)
-        tre = target_mags * ure[None]
-        tim = target_mags * uim[None]
+        # no-wiener release, README.md:38-44); same identity applies:
+        # mag * unit(x) = mask * x
+        m = jnp.transpose(
+            masks.reshape(masks.shape[0], masks.shape[1], 2, mcfg.n_bins),
+            (0, 2, 1, 3),
+        )
+        tre = m * re[None]
+        tim = m * im[None]
 
     waves = stft_ops.istft_planes(tre, tim, n_samples, dcfg)  # (T#, 2, n)
     return waves, new_state

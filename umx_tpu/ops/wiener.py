@@ -139,3 +139,34 @@ def wiener_filter_planes(
         )
     y = wiener_filter(jax.lax.complex(xre, xim), target_mags, cfg)
     return y.real, y.imag
+
+
+def wiener_filter_masks(
+    xre: Array,
+    xim: Array,
+    masks: Array,
+    n_bins: int,
+    cfg: WienerConfig,
+) -> tuple[Array, Array]:
+    """Wiener filter fed the NETWORK-LAYOUT masks (S, T, 2*n_bins) — the
+    segment-pipeline hot path.  On the Pallas path this skips the
+    (S, 2, T, F) target-magnitude materialization entirely (the initial
+    estimate is y = mask * x); the einsum fallback reconstructs the
+    magnitudes and behaves identically."""
+    if _pallas_eligible(cfg):
+        from umx_tpu.ops.wiener_pallas import wiener_planes_from_masks
+
+        return wiener_planes_from_masks(
+            xre,
+            xim,
+            masks,
+            n_bins,
+            cfg,
+            time_block=cfg.time_block,
+            interpret=cfg.impl == "pallas_interpret",
+        )
+    S, T, _ = masks.shape
+    m = jnp.transpose(masks.reshape(S, T, 2, n_bins), (0, 2, 1, 3))
+    mag = jnp.sqrt(xre * xre + xim * xim)
+    y = wiener_filter(jax.lax.complex(xre, xim), m * mag[None], cfg)
+    return y.real, y.imag

@@ -56,6 +56,60 @@ def _pad_to(x: Array, axis: int, mult: int) -> Array:
     return jnp.pad(x, widths)
 
 
+def _make_reduce_kernel_masks(n_sources: int, f_pad: int):
+    """Reduce variant reading the NETWORK-LAYOUT masks (S, K, 2*F) —
+    no transpose, no magnitude materialization: the initial estimate is
+    algebraically y = mask * x (mag*unit(x) = mask*|x|*x/|x|), so the
+    statistics only need masks and the mix planes."""
+
+    def kernel(xre_ref, xim_ref, mask_ref, scale_ref, racc_ref):
+        inv = scale_ref[0, 0]
+        sq = inv * inv
+        ax0 = xre_ref[0] * xre_ref[0] + xim_ref[0] * xim_ref[0]
+        ax1 = xre_ref[1] * xre_ref[1] + xim_ref[1] * xim_ref[1]
+        # cross terms of x0 * conj(x1)
+        cr = xre_ref[0] * xre_ref[1] + xim_ref[0] * xim_ref[1]
+        ci = xim_ref[0] * xre_ref[1] - xre_ref[0] * xim_ref[1]
+        rows = []
+        for s in range(n_sources):
+            m0 = mask_ref[s][:, :f_pad]
+            m1 = mask_ref[s][:, f_pad:]
+            m01 = m0 * m1
+            rows.append(jnp.sum(m0 * m0 * ax0, axis=0, keepdims=True) * sq)
+            rows.append(jnp.sum(m1 * m1 * ax1, axis=0, keepdims=True) * sq)
+            rows.append(jnp.sum(m01 * cr, axis=0, keepdims=True) * sq)
+            rows.append(jnp.sum(m01 * ci, axis=0, keepdims=True) * sq)
+        partial = jnp.concatenate(rows, axis=0)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            racc_ref[:] = jnp.zeros_like(racc_ref)
+
+        racc_ref[:] += partial
+
+    return kernel
+
+
+def _make_apply_kernel_masks(n_sources: int, f_pad: int, eps: float, reg: float):
+    """Apply variant with PSD from masks: v_s = mean_c (mask_sc |x_c|)^2."""
+
+    def kernel(xre_ref, xim_ref, mask_ref, racc_ref, scale_ref, yre_ref, yim_ref):
+        inv_ma = scale_ref[0, 0]
+        sq = inv_ma * inv_ma
+        ax0 = xre_ref[0] * xre_ref[0] + xim_ref[0] * xim_ref[0]
+        ax1 = xre_ref[1] * xre_ref[1] + xim_ref[1] * xim_ref[1]
+
+        def v_of(s):
+            m0 = mask_ref[s][:, :f_pad]
+            m1 = mask_ref[s][:, f_pad:]
+            return 0.5 * sq * (m0 * m0 * ax0 + m1 * m1 * ax1)
+
+        _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
+                      n_sources, eps, reg)
+
+    return kernel
+
+
 def _make_reduce_kernel(n_sources: int, from_mags: bool):
     def accumulate(y_planes, racc_ref, b):
         rows = []
@@ -99,57 +153,59 @@ def _make_reduce_kernel(n_sources: int, from_mags: bool):
     return kernel
 
 
+def _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
+                  n_sources: int, eps: float, reg: float):
+    x0re = xre_ref[0] * inv_ma
+    x0im = xim_ref[0] * inv_ma
+    x1re = xre_ref[1] * inv_ma
+    x1im = xim_ref[1] * inv_ma
+
+    vs, r00s, r11s, r01res, r01ims = [], [], [], [], []
+    c00 = jnp.full_like(x0re, reg)
+    c11 = jnp.full_like(x0re, reg)
+    c01re = jnp.zeros_like(x0re)
+    c01im = jnp.zeros_like(x0re)
+    for s in range(n_sources):
+        racc = racc_ref[4 * s : 4 * s + 4]  # (4, F); rows kept 2D
+        w = eps + 0.5 * (racc[0:1] + racc[1:2])  # sum_t v_s, (1, F)
+        inv_w = 1.0 / w
+        r00 = racc[0:1] * inv_w  # (1, F), broadcast over time rows
+        r11 = racc[1:2] * inv_w
+        r01re = racc[2:3] * inv_w
+        r01im = racc[3:4] * inv_w
+        v = v_of(s)
+        c00 += v * r00
+        c11 += v * r11
+        c01re += v * r01re
+        c01im += v * r01im
+        vs.append(v)
+        r00s.append(r00)
+        r11s.append(r11)
+        r01res.append(r01re)
+        r01ims.append(r01im)
+
+    # Hermitian 2x2 inverse: det is real
+    det = c00 * c11 - (c01re * c01re + c01im * c01im)
+    idet = 1.0 / det
+    # z = Cxx^-1 x  (source-independent)
+    z0re = (c11 * x0re - (c01re * x1re - c01im * x1im)) * idet
+    z0im = (c11 * x0im - (c01re * x1im + c01im * x1re)) * idet
+    z1re = (c00 * x1re - (c01re * x0re + c01im * x0im)) * idet
+    z1im = (c00 * x1im - (c01re * x0im - c01im * x0re)) * idet
+
+    ma = 1.0 / inv_ma
+    for s in range(n_sources):
+        v = vs[s] * ma
+        r00, r11 = r00s[s], r11s[s]
+        r01re, r01im = r01res[s], r01ims[s]
+        # y_s0 = v (R00 z0 + R01 z1); y_s1 = v (conj(R01) z0 + R11 z1)
+        yre_ref[s, 0] = v * (r00 * z0re + r01re * z1re - r01im * z1im)
+        yim_ref[s, 0] = v * (r00 * z0im + r01re * z1im + r01im * z1re)
+        yre_ref[s, 1] = v * (r01re * z0re + r01im * z0im + r11 * z1re)
+        yim_ref[s, 1] = v * (r01re * z0im - r01im * z0re + r11 * z1im)
+
+
 def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
-    def apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref):
-        x0re = xre_ref[0] * inv_ma
-        x0im = xim_ref[0] * inv_ma
-        x1re = xre_ref[1] * inv_ma
-        x1im = xim_ref[1] * inv_ma
-
-        vs, r00s, r11s, r01res, r01ims = [], [], [], [], []
-        c00 = jnp.full_like(x0re, reg)
-        c11 = jnp.full_like(x0re, reg)
-        c01re = jnp.zeros_like(x0re)
-        c01im = jnp.zeros_like(x0re)
-        for s in range(n_sources):
-            racc = racc_ref[4 * s : 4 * s + 4]  # (4, F); rows kept 2D
-            w = eps + 0.5 * (racc[0:1] + racc[1:2])  # sum_t v_s, (1, F)
-            inv_w = 1.0 / w
-            r00 = racc[0:1] * inv_w  # (1, F), broadcast over time rows
-            r11 = racc[1:2] * inv_w
-            r01re = racc[2:3] * inv_w
-            r01im = racc[3:4] * inv_w
-            v = v_of(s)
-            c00 += v * r00
-            c11 += v * r11
-            c01re += v * r01re
-            c01im += v * r01im
-            vs.append(v)
-            r00s.append(r00)
-            r11s.append(r11)
-            r01res.append(r01re)
-            r01ims.append(r01im)
-
-        # Hermitian 2x2 inverse: det is real
-        det = c00 * c11 - (c01re * c01re + c01im * c01im)
-        idet = 1.0 / det
-        # z = Cxx^-1 x  (source-independent)
-        z0re = (c11 * x0re - (c01re * x1re - c01im * x1im)) * idet
-        z0im = (c11 * x0im - (c01re * x1im + c01im * x1re)) * idet
-        z1re = (c00 * x1re - (c01re * x0re + c01im * x0im)) * idet
-        z1im = (c00 * x1im - (c01re * x0im - c01im * x0re)) * idet
-
-        ma = 1.0 / inv_ma
-        for s in range(n_sources):
-            v = vs[s] * ma
-            r00, r11 = r00s[s], r11s[s]
-            r01re, r01im = r01res[s], r01ims[s]
-            # y_s0 = v (R00 z0 + R01 z1); y_s1 = v (conj(R01) z0 + R11 z1)
-            yre_ref[s, 0] = v * (r00 * z0re + r01re * z1re - r01im * z1im)
-            yim_ref[s, 0] = v * (r00 * z0im + r01re * z1im + r01im * z1re)
-            yre_ref[s, 1] = v * (r01re * z0re + r01im * z0im + r11 * z1re)
-            yim_ref[s, 1] = v * (r01re * z0im - r01im * z0re + r11 * z1im)
-
     if from_mags:
 
         def kernel(xre_ref, xim_ref, mag_ref, racc_ref, scale_ref, yre_ref, yim_ref):
@@ -161,7 +217,8 @@ def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
                 m1 = mag_ref[s, 1]
                 return 0.5 * sq * (m0 * m0 + m1 * m1)
 
-            apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref)
+            _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
+                          n_sources, eps, reg)
 
     else:
 
@@ -177,7 +234,8 @@ def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
                 d = yim_in_ref[s, 1]
                 return 0.5 * (a * a + b * b + c * c + d * d)
 
-            apply(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref)
+            _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
+                          n_sources, eps, reg)
 
     return kernel
 
@@ -273,5 +331,106 @@ def wiener_planes_pallas(
         yim_s = yim * inv_ma[0, 0]
         racc = reduce_y(yre_s, yim_s)
         yre, yim = apply_y(yre_s, yim_s, racc)
+
+    return yre[:, :, :T, :F], yim[:, :, :T, :F]
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins", "cfg", "time_block", "interpret"))
+def wiener_planes_from_masks(
+    xre: Array,
+    xim: Array,
+    masks: Array,
+    n_bins: int,
+    cfg: WienerConfig,
+    time_block: int = 136,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """EM-refined estimates straight from the NETWORK-LAYOUT masks.
+
+    xre/xim: (2, T, F) mix planes; masks: (S, T, 2*n_bins) stacked-stereo
+    masks exactly as the mask network emits them.  Returns (yre, yim)
+    each (S, 2, T, F).
+
+    This is the hot path inside the segment program: the initial Wiener
+    estimate is y = mag*unit(x) = (mask*|x|)*x/|x| = mask * x, so the
+    kernels read the masks directly — no (S,2,T,F) transpose, no
+    magnitude product, no phasors.  Feeding a Pallas call from the
+    transposed ``apply_masks`` output forced XLA into a ~180 MB relayout
+    worth ~13 ms in-context (scripts/profile-wiener*.py); the mask
+    layout is a pure reshape+pad of the producer, which XLA fuses into
+    the producer's epilogue.
+    """
+    S, T, two_bins = masks.shape
+    assert two_bins == 2 * n_bins
+    F = xre.shape[-1]
+    assert F == n_bins
+
+    max_abs = jnp.maximum(1.0, jnp.max(jnp.sqrt(xre * xre + xim * xim)) / cfg.scale_factor)
+    inv_ma = (1.0 / max_abs).reshape(1, 1).astype(jnp.float32)
+
+    # pad bins to a lane multiple: x planes on the last axis; masks
+    # per-channel (a pad of the (S, T, 2, F) reshape, then re-flattened —
+    # all pure element moves XLA folds into the mask producer)
+    Fp = F + ((-F) % _LANES)
+    xre_p = _pad_to(_pad_to(xre.astype(jnp.float32), -1, _LANES), -2, time_block)
+    xim_p = _pad_to(_pad_to(xim.astype(jnp.float32), -1, _LANES), -2, time_block)
+    masks_p = _pad_to(
+        masks.astype(jnp.float32).reshape(S, T, 2, F), -1, _LANES
+    ).reshape(S, T, 2 * Fp)
+    masks_p = _pad_to(masks_p, -2, time_block)
+    Tp = xre_p.shape[-2]
+    K = min(time_block, Tp)
+    n_blocks = Tp // K
+    reg = float(cfg.eps) ** 0.5
+
+    x_spec = pl.BlockSpec((2, K, Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((S, K, 2 * Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((S, 2, K, Fp), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
+    racc_spec = pl.BlockSpec((4 * S, Fp), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, Fp), jnp.float32)
+
+    racc = pl.pallas_call(
+        _make_reduce_kernel_masks(S, Fp),
+        grid=(n_blocks,),
+        in_specs=[x_spec, x_spec, m_spec, scale_spec],
+        out_specs=racc_spec,
+        out_shape=jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32),
+        compiler_params=params,
+        interpret=interpret,
+    )(xre_p, xim_p, masks_p, inv_ma)
+    yre, yim = pl.pallas_call(
+        _make_apply_kernel_masks(S, Fp, float(cfg.eps), reg),
+        grid=(n_blocks,),
+        in_specs=[x_spec, x_spec, m_spec, racc_spec, scale_spec],
+        out_specs=[y_spec, y_spec],
+        out_shape=[y_shape, y_shape],
+        compiler_params=params,
+        interpret=interpret,
+    )(xre_p, xim_p, masks_p, racc, inv_ma)
+
+    for _ in range(cfg.iterations - 1):
+        # further EM iterations use the generic y-based kernels
+        yre_s = yre * inv_ma[0, 0]
+        yim_s = yim * inv_ma[0, 0]
+        racc = pl.pallas_call(
+            _make_reduce_kernel(S, from_mags=False),
+            grid=(n_blocks,),
+            in_specs=[y_spec, y_spec],
+            out_specs=racc_spec,
+            out_shape=jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32),
+            compiler_params=params,
+            interpret=interpret,
+        )(yre_s, yim_s)
+        yre, yim = pl.pallas_call(
+            _make_apply_kernel(S, False, float(cfg.eps), reg),
+            grid=(n_blocks,),
+            in_specs=[x_spec, x_spec, y_spec, y_spec, racc_spec, scale_spec],
+            out_specs=[y_spec, y_spec],
+            out_shape=[y_shape, y_shape],
+            compiler_params=params,
+            interpret=interpret,
+        )(xre_p, xim_p, yre_s, yim_s, racc, inv_ma)
 
     return yre[:, :, :T, :F], yim[:, :, :T, :F]
