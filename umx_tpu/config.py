@@ -110,9 +110,11 @@ class WienerConfig:
     # runs the kernels in the Pallas interpreter (CPU tests); "auto"
     # picks pallas on TPU backends when psd == "correct".
     impl: Literal["auto", "einsum", "pallas", "pallas_interpret"] = "auto"
-    # time rows per Pallas grid step (136 divides the production 60 s
-    # segment's 2584 frames -> zero time padding)
-    time_block: int = 136
+    # time rows per Pallas grid step.  SMALL is load-bearing: a Pallas
+    # call with a large scoped-VMEM footprint evicts the neighboring LSTM
+    # scans' VMEM-resident weights (+16 ms measured at 136-row blocks);
+    # 8-row blocks keep the kernels ~2 MB and the scans untouched.
+    time_block: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

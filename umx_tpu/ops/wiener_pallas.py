@@ -19,10 +19,12 @@ wiener.hpp:13):
   inverse, z = Cxx^-1 x (source-independent factorization), and the new
   estimates y_sc = v_s (R_s[c,0] z0 + R_s[c,1] z1).
 
-Everything is real-pair arithmetic on (time_block, F) planes — F rides the
-128-wide lanes — with the frequency axis zero-padded to a lane multiple
-(padded bins have v = 0 and produce exact zeros).  Iterations >= 2 use the
-same kernels reading the previous iteration's y planes.
+Everything is real-pair arithmetic on (time_block, F) planes — F rides
+the lanes as a full-dimension block (no padding).  Iterations >= 2 use
+the same kernels reading the previous iteration's y planes.  Block sizes
+are deliberately small (see WienerConfig.time_block): a large scoped-VMEM
+footprint makes XLA evict the surrounding LSTM scans' VMEM-resident
+weights, costing far more than the kernels themselves.
 
 Traffic per EM-1 segment: reduce reads mags+x once (~255 MB), apply reads
 them again and writes y (~595 MB) — ~0.9 GB total vs ~5+ GB for the
@@ -56,8 +58,8 @@ def _pad_to(x: Array, axis: int, mult: int) -> Array:
     return jnp.pad(x, widths)
 
 
-def _make_reduce_kernel_masks(n_sources: int, f_pad: int):
-    """Reduce variant reading the NETWORK-LAYOUT masks (S, K, 2*F) —
+def _make_reduce_kernel_masks(n_sources: int):
+    """Reduce variant reading the NETWORK-LAYOUT masks (S, K, 2, F) —
     no transpose, no magnitude materialization: the initial estimate is
     algebraically y = mask * x (mag*unit(x) = mask*|x|*x/|x|), so the
     statistics only need masks and the mix planes."""
@@ -72,8 +74,8 @@ def _make_reduce_kernel_masks(n_sources: int, f_pad: int):
         ci = xim_ref[0] * xre_ref[1] - xre_ref[0] * xim_ref[1]
         rows = []
         for s in range(n_sources):
-            m0 = mask_ref[s][:, :f_pad]
-            m1 = mask_ref[s][:, f_pad:]
+            m0 = mask_ref[s, :, 0]
+            m1 = mask_ref[s, :, 1]
             m01 = m0 * m1
             rows.append(jnp.sum(m0 * m0 * ax0, axis=0, keepdims=True) * sq)
             rows.append(jnp.sum(m1 * m1 * ax1, axis=0, keepdims=True) * sq)
@@ -90,7 +92,7 @@ def _make_reduce_kernel_masks(n_sources: int, f_pad: int):
     return kernel
 
 
-def _make_apply_kernel_masks(n_sources: int, f_pad: int, eps: float, reg: float):
+def _make_apply_kernel_masks(n_sources: int, eps: float, reg: float):
     """Apply variant with PSD from masks: v_s = mean_c (mask_sc |x_c|)^2."""
 
     def kernel(xre_ref, xim_ref, mask_ref, racc_ref, scale_ref, yre_ref, yim_ref):
@@ -100,8 +102,8 @@ def _make_apply_kernel_masks(n_sources: int, f_pad: int, eps: float, reg: float)
         ax1 = xre_ref[1] * xre_ref[1] + xim_ref[1] * xim_ref[1]
 
         def v_of(s):
-            m0 = mask_ref[s][:, :f_pad]
-            m1 = mask_ref[s][:, f_pad:]
+            m0 = mask_ref[s, :, 0]
+            m1 = mask_ref[s, :, 1]
             return 0.5 * sq * (m0 * m0 * ax0 + m1 * m1 * ax1)
 
         _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
@@ -246,7 +248,7 @@ def wiener_planes_pallas(
     xim: Array,
     target_mags: Array,
     cfg: WienerConfig,
-    time_block: int = 64,
+    time_block: int = 8,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """EM-refined source estimates as (re, im) planes.
@@ -262,21 +264,24 @@ def wiener_planes_pallas(
     max_abs = jnp.maximum(1.0, jnp.max(jnp.sqrt(xre * xre + xim * xim)) / cfg.scale_factor)
     inv_ma = (1.0 / max_abs).reshape(1, 1).astype(jnp.float32)
 
-    xre_p = _pad_to(_pad_to(xre.astype(jnp.float32), -1, _LANES), -2, time_block)
-    xim_p = _pad_to(_pad_to(xim.astype(jnp.float32), -1, _LANES), -2, time_block)
-    mags_p = _pad_to(_pad_to(target_mags.astype(jnp.float32), -1, _LANES), -2, time_block)
-    Tp, Fp = xre_p.shape[-2:]
+    # no frequency padding (full-dimension F blocks); small blocks +
+    # tight vmem_limit so the call never evicts neighbors' VMEM (see
+    # wiener_planes_from_masks docstring)
+    xre_p = _pad_to(xre.astype(jnp.float32), -2, time_block)
+    xim_p = _pad_to(xim.astype(jnp.float32), -2, time_block)
+    mags_p = _pad_to(target_mags.astype(jnp.float32), -2, time_block)
+    Tp = xre_p.shape[-2]
     K = min(time_block, Tp)
     n_blocks = Tp // K
     reg = float(cfg.eps) ** 0.5
 
-    x_spec = pl.BlockSpec((2, K, Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((S, 2, K, Fp), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
-    racc_spec = pl.BlockSpec((4 * S, Fp), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((2, K, F), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((S, 2, K, F), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
+    racc_spec = pl.BlockSpec((4 * S, F), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
-    racc_shape = jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32)
-    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, Fp), jnp.float32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    racc_shape = jax.ShapeDtypeStruct((4 * S, F), jnp.float32)
+    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
 
     def reduce_mags(xre_p, xim_p, mags_p):
         return pl.pallas_call(
@@ -332,7 +337,7 @@ def wiener_planes_pallas(
         racc = reduce_y(yre_s, yim_s)
         yre, yim = apply_y(yre_s, yim_s, racc)
 
-    return yre[:, :, :T, :F], yim[:, :, :T, :F]
+    return yre[:, :, :T], yim[:, :, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "cfg", "time_block", "interpret"))
@@ -342,7 +347,7 @@ def wiener_planes_from_masks(
     masks: Array,
     n_bins: int,
     cfg: WienerConfig,
-    time_block: int = 136,
+    time_block: int = 8,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
     """EM-refined estimates straight from the NETWORK-LAYOUT masks.
@@ -354,11 +359,20 @@ def wiener_planes_from_masks(
     This is the hot path inside the segment program: the initial Wiener
     estimate is y = mag*unit(x) = (mask*|x|)*x/|x| = mask * x, so the
     kernels read the masks directly — no (S,2,T,F) transpose, no
-    magnitude product, no phasors.  Feeding a Pallas call from the
-    transposed ``apply_masks`` output forced XLA into a ~180 MB relayout
-    worth ~13 ms in-context (scripts/profile-wiener*.py); the mask
-    layout is a pure reshape+pad of the producer, which XLA fuses into
-    the producer's epilogue.
+    magnitude product, no phasors.
+
+    Two hard-won in-context rules (scripts/profile-wiener*.py drills,
+    perfetto traces):
+
+    * the frequency axis is NOT padded — Pallas accepts blocks equal to
+      the full array dimension, so F=2049 rides as-is and the kernel
+      inputs are pure reshapes of their producers;
+    * the blocks are deliberately SMALL (default time_block=8, ~2 MB
+      in-flight) with a tight vmem_limit: a Pallas call whose scoped
+      VMEM footprint is large (e.g. 136-row blocks ≈ 100 MB) makes
+      XLA's allocator evict the surrounding LSTM scans' VMEM-resident
+      weights — measured +16 ms on the three scans (8.7 vs 5.6 µs/step)
+      with ZERO time attributable to the kernels themselves.
     """
     S, T, two_bins = masks.shape
     assert two_bins == 2 * n_bins
@@ -368,47 +382,40 @@ def wiener_planes_from_masks(
     max_abs = jnp.maximum(1.0, jnp.max(jnp.sqrt(xre * xre + xim * xim)) / cfg.scale_factor)
     inv_ma = (1.0 / max_abs).reshape(1, 1).astype(jnp.float32)
 
-    # pad bins to a lane multiple: x planes on the last axis; masks
-    # per-channel (a pad of the (S, T, 2, F) reshape, then re-flattened —
-    # all pure element moves XLA folds into the mask producer)
-    Fp = F + ((-F) % _LANES)
-    xre_p = _pad_to(_pad_to(xre.astype(jnp.float32), -1, _LANES), -2, time_block)
-    xim_p = _pad_to(_pad_to(xim.astype(jnp.float32), -1, _LANES), -2, time_block)
-    masks_p = _pad_to(
-        masks.astype(jnp.float32).reshape(S, T, 2, F), -1, _LANES
-    ).reshape(S, T, 2 * Fp)
-    masks_p = _pad_to(masks_p, -2, time_block)
+    xre_p = _pad_to(xre.astype(jnp.float32), -2, time_block)
+    xim_p = _pad_to(xim.astype(jnp.float32), -2, time_block)
+    masks4 = _pad_to(masks.astype(jnp.float32).reshape(S, T, 2, F), -3, time_block)
     Tp = xre_p.shape[-2]
     K = min(time_block, Tp)
     n_blocks = Tp // K
     reg = float(cfg.eps) ** 0.5
 
-    x_spec = pl.BlockSpec((2, K, Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
-    m_spec = pl.BlockSpec((S, K, 2 * Fp), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((S, 2, K, Fp), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
-    racc_spec = pl.BlockSpec((4 * S, Fp), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((2, K, F), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((S, K, 2, F), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((S, 2, K, F), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
+    racc_spec = pl.BlockSpec((4 * S, F), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, Fp), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
+    y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
 
     racc = pl.pallas_call(
-        _make_reduce_kernel_masks(S, Fp),
+        _make_reduce_kernel_masks(S),
         grid=(n_blocks,),
         in_specs=[x_spec, x_spec, m_spec, scale_spec],
         out_specs=racc_spec,
-        out_shape=jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4 * S, F), jnp.float32),
         compiler_params=params,
         interpret=interpret,
-    )(xre_p, xim_p, masks_p, inv_ma)
+    )(xre_p, xim_p, masks4, inv_ma)
     yre, yim = pl.pallas_call(
-        _make_apply_kernel_masks(S, Fp, float(cfg.eps), reg),
+        _make_apply_kernel_masks(S, float(cfg.eps), reg),
         grid=(n_blocks,),
         in_specs=[x_spec, x_spec, m_spec, racc_spec, scale_spec],
         out_specs=[y_spec, y_spec],
         out_shape=[y_shape, y_shape],
         compiler_params=params,
         interpret=interpret,
-    )(xre_p, xim_p, masks_p, racc, inv_ma)
+    )(xre_p, xim_p, masks4, racc, inv_ma)
 
     for _ in range(cfg.iterations - 1):
         # further EM iterations use the generic y-based kernels
@@ -419,7 +426,7 @@ def wiener_planes_from_masks(
             grid=(n_blocks,),
             in_specs=[y_spec, y_spec],
             out_specs=racc_spec,
-            out_shape=jax.ShapeDtypeStruct((4 * S, Fp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((4 * S, F), jnp.float32),
             compiler_params=params,
             interpret=interpret,
         )(yre_s, yim_s)
@@ -433,4 +440,4 @@ def wiener_planes_from_masks(
             interpret=interpret,
         )(xre_p, xim_p, yre_s, yim_s, racc, inv_ma)
 
-    return yre[:, :, :T, :F], yim[:, :, :T, :F]
+    return yre[:, :, :T], yim[:, :, :T]
