@@ -60,8 +60,9 @@ def main() -> int:
     dtype = os.environ.get("UMX_BENCH_DTYPE", "float32")
     batch = int(os.environ.get("UMX_BENCH_BATCH", "1"))
 
+    streaming = os.environ.get("UMX_BENCH_STREAMING", "1") != "0"
     cfg = EngineConfig(
-        segment=SegmentConfig(segment_secs=seg_secs),
+        segment=SegmentConfig(segment_secs=seg_secs, streaming=streaming),
         use_wiener=use_wiener,
         compute_dtype=dtype,
     )
@@ -121,8 +122,11 @@ def main() -> int:
             walls.append(time.perf_counter() - t0)
         wall = sorted(walls)[1]
         xrt = track_secs / wall
+        name = f"xRT_umxl_whole_track_{int(track_secs)}s_fused"
+        if not streaming:
+            name += "_nostream"
         print(json.dumps({
-            "metric": f"xRT_umxl_whole_track_{int(track_secs)}s_fused",
+            "metric": name,
             "value": round(xrt, 2),
             "unit": "audio_sec_per_wall_sec",
             "vs_baseline": round(xrt / 100.0, 4),

@@ -231,3 +231,24 @@ def test_pallas_from_masks_two_iterations(spec_data):
     ref = numpy_wiener_oracle(mix, tm, 2, cfg_p.eps, cfg_p.scale_factor)
     scale = np.abs(mix).max()
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pallas_from_masks_vmap_batches():
+    # demix_fused_parallel / the serving batcher vmap the segment program
+    # over chunks — the pallas calls must compose with vmap
+    import jax
+
+    from umx_tpu.ops.wiener import wiener_filter_masks
+
+    rng = np.random.default_rng(31)
+    B, S, T, F = 3, 4, 24, 257
+    xre = rng.standard_normal((B, 2, T, F)).astype(np.float32)
+    xim = rng.standard_normal((B, 2, T, F)).astype(np.float32)
+    masks = rng.uniform(0, 1, (B, S, T, 2 * F)).astype(np.float32)
+    cfg = dataclasses.replace(WienerConfig(), impl="pallas_interpret", time_block=8)
+    yre, yim = jax.vmap(lambda a, b, m: wiener_filter_masks(a, b, m, F, cfg))(
+        xre, xim, masks
+    )
+    solo = wiener_filter_masks(xre[1], xim[1], masks[1], F, cfg)
+    np.testing.assert_allclose(np.asarray(yre[1]), np.asarray(solo[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yim[1]), np.asarray(solo[1]), atol=1e-5)
