@@ -196,10 +196,12 @@ def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
         tails, [(0, 0)] * (tails.ndim - 1) + [(0, stride - tail_len)]
     )
     tails = jnp.moveaxis(tails, 0, -2).reshape(*mid, n_chunks * stride)
-    ext = (n_chunks + 1) * stride
-    out = jnp.zeros((*mid, ext), ys.dtype)
-    out = out.at[..., : n_chunks * stride].add(heads)
-    out = out.at[..., stride : (n_chunks + 1) * stride].add(tails)
+    # pure pad + add (no strided .at[].add — XLA:TPU rewrites that
+    # pattern into a slow convolution fusion)
+    lead_pad = [(0, 0)] * len(mid)
+    out = jnp.pad(heads, lead_pad + [(0, stride)]) + jnp.pad(
+        tails, lead_pad + [(stride, 0)]
+    )
     return out[..., :padded_len]
 
 

@@ -72,18 +72,23 @@ def overlap_add(frames: Array, hop: int) -> Array:
     """Inverse of :func:`frame_signal`: sum frames ``(..., T, n_fft)`` into a
     signal ``(..., (T-1)*hop + n_fft)`` at hop-strided offsets.
 
-    Implemented as n_fft/hop shifted whole-array adds (vectorized, no
-    scatter): piece p of every frame lands p*hop later.
+    Implemented as a sum of n_fft/hop zero-padded piece grids — pure
+    pad + add, fully fusible elementwise.  (The earlier strided
+    ``.at[].add`` formulation was pattern-rewritten by XLA:TPU into a
+    convolution fusion costing ~6 ms/segment.)
     """
     *lead, n_frames, n_fft = frames.shape
     assert n_fft % hop == 0
     ratio = n_fft // hop
-    out_len = (n_frames - 1) * hop + n_fft
-    out = jnp.zeros((*lead, out_len), frames.dtype)
+    pieces = frames.reshape(*lead, n_frames, ratio, hop)
+    total = None
     for p in range(ratio):
-        piece = frames[..., p * hop : (p + 1) * hop].reshape(*lead, n_frames * hop)
-        out = out.at[..., p * hop : (p + n_frames) * hop].add(piece)
-    return out
+        # piece p of frame t lands at output row t + p of a hop-wide grid
+        x = pieces[..., p, :]  # (..., T, hop)
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(p, ratio - 1 - p), (0, 0)])
+        total = x if total is None else total + x
+    out = total.reshape(*lead, (n_frames + ratio - 1) * hop)
+    return out[..., : (n_frames - 1) * hop + n_fft]
 
 
 def window_sumsquare(window: Array, n_frames: int, hop: int, out_len: int) -> Array:
