@@ -264,8 +264,9 @@ bool decode_flac(const std::vector<uint8_t> &buf, WavData *out,
         return false;
     }
 
-    std::vector<std::vector<int64_t>> chan(channels);
-    std::vector<int64_t> ch_buf;
+    // per-channel output accumulated as float: a frame header may carry
+    // its own sample size (spec-legal), so scaling is per-frame
+    std::vector<std::vector<float>> chan(channels);
     std::vector<std::vector<int64_t>> frame_ch(channels);
 
     BitReader br{buf.data(), buf.size()};
@@ -277,6 +278,9 @@ bool decode_flac(const std::vector<uint8_t> &buf, WavData *out,
         uint64_t sync = br.read_bits(14);
         if (br.fail) break;
         if (sync != 0x3FFE) {
+            if (total_samples == 0 && decoded > 0) break;  // trailing
+            // bytes after the last frame of an unknown-length stream
+            // (total_samples=0 is legal, e.g. pipe encoders)
             *err = "lost frame sync";
             return false;
         }
@@ -363,8 +367,11 @@ bool decode_flac(const std::vector<uint8_t> &buf, WavData *out,
                 frame_ch[1][i] = (mid - side) >> 1;
             }
         }
+        const double fscale =
+            1.0 / static_cast<double>(int64_t(1) << (frame_bps - 1));
         for (int c = 0; c < channels; ++c)
-            chan[c].insert(chan[c].end(), frame_ch[c].begin(), frame_ch[c].end());
+            for (int i = 0; i < block_size; ++i)
+                chan[c].push_back(static_cast<float>(frame_ch[c][i] * fscale));
         decoded += static_cast<uint64_t>(block_size);
     }
 
@@ -373,14 +380,12 @@ bool decode_flac(const std::vector<uint8_t> &buf, WavData *out,
         return false;
     }
     uint64_t n = total_samples ? total_samples : decoded;
-    const double scale = 1.0 / static_cast<double>(int64_t(1) << (bps - 1));
     out->sample_rate = sample_rate;
     out->channels = channels;
     out->frames = static_cast<int64_t>(n);
     out->samples.resize(static_cast<size_t>(n) * channels);
     for (uint64_t i = 0; i < n; ++i)
         for (int c = 0; c < channels; ++c)
-            out->samples[i * channels + c] =
-                static_cast<float>(chan[c][i] * scale);
+            out->samples[i * channels + c] = chan[c][i];
     return true;
 }

@@ -162,12 +162,19 @@ def write_flac(
     block: int = 4096,
     frame_kinds=None,
     stereo_mode: str = "independent",
+    total_samples_zero: bool = False,
+    trailing_bytes: bytes = b"",
+    frame_bps: int | None = None,
 ):
     """samples: (n, channels) integer array in [-2^(bps-1), 2^(bps-1)).
 
     frame_kinds: optional list cycled per frame, entries as accepted by
     _write_subframe.  stereo_mode: independent | left_side | right_side |
-    mid_side (2-channel input only).
+    mid_side (2-channel input only).  frame_bps: declared per-frame
+    sample size (spec-legal to differ from STREAMINFO; samples must be
+    given at this depth).  total_samples_zero: STREAMINFO
+    total_samples=0 (unknown length, e.g. pipe encoders).
+    trailing_bytes: appended after the last frame.
     """
     samples = np.asarray(samples, np.int64)
     n, ch = samples.shape
@@ -181,7 +188,7 @@ def write_flac(
     si.write(sample_rate, 20)
     si.write(ch - 1, 3)
     si.write(bps - 1, 5)
-    si.write(n & ((1 << 36) - 1), 36)
+    si.write(0 if total_samples_zero else (n & ((1 << 36) - 1)), 36)
     for _ in range(16):
         si.write(0, 8)  # md5 unset
     body = si.bytes()
@@ -189,6 +196,7 @@ def write_flac(
 
     if frame_kinds is None:
         frame_kinds = ["verbatim"]
+    enc_bps = frame_bps if frame_bps is not None else bps
     sr_code = 9 if sample_rate == 44100 else 0
     frame_idx = 0
     pos = 0
@@ -198,18 +206,18 @@ def write_flac(
         kind = frame_kinds[frame_idx % len(frame_kinds)]
 
         chans = [x[:, c] for c in range(ch)]
-        chan_bps = [bps] * ch
+        chan_bps = [enc_bps] * ch
         if ch == 2 and stereo_mode != "independent":
             L = x[:, 0].astype(np.int64)
             R = x[:, 1].astype(np.int64)
             side = L - R
             if stereo_mode == "left_side":
-                ch_code, chans, chan_bps = 8, [L, side], [bps, bps + 1]
+                ch_code, chans, chan_bps = 8, [L, side], [enc_bps, enc_bps + 1]
             elif stereo_mode == "right_side":
-                ch_code, chans, chan_bps = 9, [side, R], [bps + 1, bps]
+                ch_code, chans, chan_bps = 9, [side, R], [enc_bps + 1, enc_bps]
             elif stereo_mode == "mid_side":
                 mid = (L + R) >> 1
-                ch_code, chans, chan_bps = 10, [mid, side], [bps, bps + 1]
+                ch_code, chans, chan_bps = 10, [mid, side], [enc_bps, enc_bps + 1]
             else:
                 raise ValueError(stereo_mode)
         else:
@@ -223,7 +231,7 @@ def write_flac(
         hdr.write(bs_code if bs_code else 7, 4)
         hdr.write(sr_code, 4)
         hdr.write(ch_code, 4)
-        hdr.write(_SS_CODES[bps], 3)
+        hdr.write(_SS_CODES[enc_bps], 3)
         hdr.write(0, 1)  # reserved
         for b in _utf8_code(frame_idx):
             hdr.write(b, 8)
@@ -245,5 +253,6 @@ def write_flac(
         pos += bs
         frame_idx += 1
 
+    out += trailing_bytes
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -127,3 +127,28 @@ def test_gspi_fixture_flac_round_trip(tmp_path):
     write_flac(path, pcm, frame_kinds=[("fixed", 2), ("lpc", 2, 6, [120, -56])])
     out = load_audio(path)
     np.testing.assert_allclose(out, wav, atol=1.0 / 32768.0)
+
+
+def test_unknown_length_stream_with_trailing_bytes(tmp_path):
+    # STREAMINFO total_samples=0 is legal (pipe encoders); junk after the
+    # last frame must not fail the decode (round-2 review finding)
+    rng = np.random.default_rng(15)
+    pcm = _random_pcm(rng, 4096 + 100, 2, 16)
+    path = str(tmp_path / "nolen.flac")
+    write_flac(path, pcm, total_samples_zero=True, trailing_bytes=b"TAGJUNK" * 16)
+    data, rate = native.read_flac_native(path)
+    assert data.shape == (4096 + 100, 2)
+    np.testing.assert_array_equal(np.round(data * 32768.0).astype(np.int64), pcm)
+
+
+def test_frame_sample_size_overrides_streaminfo(tmp_path):
+    # a frame header may declare its own sample size; scaling must follow
+    # the FRAME depth, not STREAMINFO's (round-2 review finding)
+    rng = np.random.default_rng(16)
+    pcm24 = _random_pcm(rng, 3000, 2, 24)
+    path = str(tmp_path / "f24.flac")
+    write_flac(path, pcm24, bps=16, frame_bps=24, frame_kinds=[("fixed", 1)])
+    data, rate = native.read_flac_native(path)
+    np.testing.assert_array_equal(
+        np.round(data * float(1 << 23)).astype(np.int64), pcm24
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax
@@ -38,7 +38,6 @@ class BatcherStats:
     jobs: int = 0
     device_calls: int = 0
     max_batch_observed: int = 0
-    batch_sizes: list = field(default_factory=list)
 
 
 class SegmentBatcher:
@@ -64,21 +63,36 @@ class SegmentBatcher:
         self._stop = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        # fail any jobs still queued (or enqueued after close) instead of
+        # leaving their callers blocked in fut.result() forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[-1].set_exception(RuntimeError("SegmentBatcher closed"))
 
     # -- request side -------------------------------------------------------
 
     def run(self, params, audio, state, cfg: EngineConfig, n_samples: int):
+        if self._stop:
+            raise RuntimeError("SegmentBatcher closed")
         fut: Future = Future()
-        key = (_device_cfg(cfg), n_samples)
+        # params IDENTITY is part of the coalescing key: jobs carrying
+        # different weight trees (e.g. a server hosting two models) must
+        # never share a vmapped call (the batch executes with one tree)
+        key = (_device_cfg(cfg), n_samples, id(params))
         self._q.put((key, params, audio, state, fut))
         return fut.result()
 
     # -- worker side --------------------------------------------------------
 
     def _batched_fn(self, key, batch_size: int):
-        cache_key = (key, batch_size)
+        # compiled programs depend on (cfg, n) only — not params identity
+        cache_key = (key[0], key[1], batch_size)
         if cache_key not in self._fns:
-            cfg, n = key
+            cfg, n = key[0], key[1]
 
             def one(p, a, s):
                 return _segment_forward_impl(p, a, s, cfg, n)
@@ -135,7 +149,6 @@ class SegmentBatcher:
         out_b, new_state_b = self._batched_fn(key, size)(params, audio_b, state_b)
         self.stats.jobs += B
         self.stats.device_calls += 1
-        self.stats.batch_sizes.append(B)
         self.stats.max_batch_observed = max(self.stats.max_batch_observed, B)
         for i, (_, _, _, _, fut) in enumerate(group):
             st_i = jax.tree.map(lambda x, i=i: x[i], new_state_b)

@@ -42,12 +42,18 @@ def crop_stack(mag: Array, nb_bins_cropped: int) -> Array:
     return jnp.concatenate([cropped[0], cropped[1]], axis=-1)
 
 
+def masks_to_planes(masks: Array, n_bins: int) -> Array:
+    """Network-layout masks (T#, T, 2*n_bins) → channel planes
+    (T#, 2, T, n_bins) — THE canonical reshape between the stacked-stereo
+    mask output and spectrogram-shaped tensors."""
+    m = masks.reshape(masks.shape[0], masks.shape[1], 2, n_bins)  # (T#, T, 2, F)
+    return jnp.transpose(m, (0, 2, 1, 3))  # (T#, 2, T, F)
+
+
 def apply_masks(masks: Array, mag: Array, n_bins: int) -> Array:
     """masks (T#, T, 2*n_bins) ⊙ mix magnitude (2, T, n_bins) →
     per-target magnitudes (T#, 2, T, n_bins) (inference.cpp:168-185)."""
-    m = masks.reshape(masks.shape[0], masks.shape[1], 2, n_bins)  # (T#, T, 2, F)
-    m = jnp.transpose(m, (0, 2, 1, 3))  # (T#, 2, T, F)
-    return m * mag[None]
+    return masks_to_planes(masks, n_bins) * mag[None]
 
 
 def _segment_forward_impl(
@@ -83,10 +89,7 @@ def _segment_forward_impl(
         # naive mix-phase reconstruction (the reference's original
         # no-wiener release, README.md:38-44); same identity applies:
         # mag * unit(x) = mask * x
-        m = jnp.transpose(
-            masks.reshape(masks.shape[0], masks.shape[1], 2, mcfg.n_bins),
-            (0, 2, 1, 3),
-        )
+        m = masks_to_planes(masks, mcfg.n_bins)
         tre = m * re[None]
         tim = m * im[None]
 

@@ -195,16 +195,16 @@ def irdft_ct(
     vre = jnp.pad(vre, [(0, 0)] * len(lead) + [(0, pad)]).reshape(*lead, c2, n1)
     vim = jnp.pad(vim, [(0, 0)] * len(lead) + [(0, pad)]).reshape(*lead, c2, n1)
 
-    # stage 1: contract c (dim -2) with e^{+2pi i bc/N2} -> (..., d, b)... the
-    # stage-2 forward matrix transposed: (N2, C2)[b, c] contracted over c.
+    # stage 1: U[b,d] = sum_c V[c,d] e^{+2pi i bc/N2}; the matrices are the
+    # stage-2 forward ones (N2, C2)[b, c], contracted over their c axis
+    # (transpose_b).  (Vre + iVim)(cos + i sin) expands to the two real
+    # contractions below; the result's layout is (..., d, b).
     ure = _dot_at(vre, cos2, -2, precision, transpose_b=True) - _dot_at(
         vim, sin2, -2, precision, transpose_b=True
-    )  # wait: see note below
+    )
     uim = _dot_at(vre, sin2, -2, precision, transpose_b=True) + _dot_at(
         vim, cos2, -2, precision, transpose_b=True
     )
-    # ure/uim: (..., d?, b) — contraction over dim -2 (c) leaves (..., n1, n2)
-    # as [d, b]
     # twiddle e^{+2pi i bd/N}: arranged (d, b) = twc.T/tws.T
     twcT = twc.T  # (N1, N2) [d, b]
     twsT = tws.T

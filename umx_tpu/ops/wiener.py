@@ -107,6 +107,8 @@ def wiener_filter(
 def _pallas_eligible(cfg: WienerConfig) -> bool:
     if cfg.psd != "correct":
         return False  # the umxcpp PSD quirk lives on the einsum path only
+    if cfg.iterations < 1:
+        return False  # iterations=0 = raw mask estimates; einsum handles it
     if cfg.impl in ("pallas", "pallas_interpret"):
         return True
     return cfg.impl == "auto" and jax.default_backend() not in ("cpu",)
@@ -165,8 +167,9 @@ def wiener_filter_masks(
             time_block=cfg.time_block,
             interpret=cfg.impl == "pallas_interpret",
         )
-    S, T, _ = masks.shape
-    m = jnp.transpose(masks.reshape(S, T, 2, n_bins), (0, 2, 1, 3))
+    from umx_tpu.engine.separator import masks_to_planes
+
+    m = masks_to_planes(masks, n_bins)
     mag = jnp.sqrt(xre * xre + xim * xim)
     y = wiener_filter(jax.lax.complex(xre, xim), m * mag[None], cfg)
     return y.real, y.imag
