@@ -139,3 +139,73 @@ def test_concurrent_requests_batch_on_device(server):
     new_calls = after["batching"]["device_calls"] - before["batching"]["device_calls"]
     assert new_calls < new_jobs, (before, after)  # coalescing happened
     assert after["batching"]["max_batch_observed"] >= 2
+
+
+def test_streaming_session_over_http(server):
+    """/stream/start -> push in odd chunks -> close must reproduce the
+    offline demix of the same audio (the streaming API's bit-exactness
+    guarantee carried through the HTTP surface)."""
+    rng = np.random.default_rng(17)
+    n = int(1.3 * 44100)
+    audio = rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32)
+
+    with urllib.request.urlopen(
+        urllib.request.Request(server + "/stream/start?wiener=1", method="POST"),
+        timeout=600,
+    ) as r:
+        sid = json.loads(r.read())["session"]
+    _, info = _get(server + "/info")
+    assert info["streaming_sessions"] >= 1
+
+    got = []
+    pos = 0
+    for size in (5000, 30000, 44100, n):  # odd chunk sizes, then the rest
+        chunk = audio[:, pos : min(pos + size, n)]
+        pos += chunk.shape[1]
+        body = np.ascontiguousarray(chunk.T).tobytes()
+        req = urllib.request.Request(
+            server + f"/stream/push?session={sid}", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            m = int(r.headers["X-Stems-Samples"])
+            payload = r.read()
+        if m:
+            got.append(np.frombuffer(payload, np.float32).reshape(4, 2, m))
+        if pos >= n:
+            break
+    req = urllib.request.Request(
+        server + f"/stream/close?session={sid}", data=b"", method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        m = int(r.headers["X-Stems-Samples"])
+        if m:
+            got.append(np.frombuffer(r.read(), np.float32).reshape(4, 2, m))
+    stems = np.concatenate(got, axis=-1)
+    assert stems.shape == (4, 2, n)
+
+    # offline reference: rebuild the server's exact weights (synthetic
+    # seed-0 dicts through the quantized ggml round trip) and demix the
+    # same audio offline — streaming over HTTP must match
+    from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig
+    from umx_tpu.engine.separator import Separator
+    from umx_tpu.io.ggml import read_ggml_bytes, write_ggml_bytes
+    from umx_tpu.models.umx import params_from_ggml, synthetic_state_dicts
+
+    mcfg = ModelConfig(hidden_size=64)
+    params = params_from_ggml(
+        read_ggml_bytes(write_ggml_bytes(64, synthetic_state_dicts(mcfg, 0))), mcfg
+    )
+    cfg = EngineConfig(model=mcfg, segment=SegmentConfig(segment_secs=1.0), shifts=0)
+    want = np.asarray(Separator(params, cfg).demix(audio, fused=False))
+    np.testing.assert_allclose(stems, want, atol=1e-5)
+
+    _, info = _get(server + "/info")
+    assert info["streaming_sessions"] == 0  # session freed
+
+    # unknown session -> 404
+    req = urllib.request.Request(
+        server + f"/stream/push?session=nope", data=b"\x00" * 8, method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 404

@@ -12,6 +12,14 @@ Endpoints:
                               response: uncompressed ZIP containing
                               target_{0..3}.wav
          ?shifts=0|1&wiener=0|1&seed=N
+    POST /stream/start     -> {"session": id}   (?wiener=0|1)
+    POST /stream/push?session=id
+         body: raw float32 LE interleaved stereo PCM (frames x 2)
+         response: raw float32 stems (4, 2, m) C-order; m in
+         X-Stems-Samples (0 until a full segment is buffered — the
+         one-segment latency of engine/streaming.py)
+    POST /stream/close?session=id
+         -> final stems for the remaining samples, session freed
 
 Concurrent requests share the device through a segment batcher
 (engine/batcher.py): each request's next segment job is coalesced with
@@ -59,6 +67,10 @@ class DemixService:
         self._counter_lock = threading.Lock()
         self.model_path = model_path
         self.requests_served = 0
+        # streaming sessions: id -> (StreamingDemixer, per-session lock)
+        self._sessions: dict = {}
+        self._sessions_lock = threading.Lock()
+        self.max_sessions = 16
 
     def info(self) -> dict:
         from umx_tpu.config import TARGETS
@@ -77,6 +89,7 @@ class DemixService:
                 "device_calls": self.batcher.stats.device_calls,
                 "max_batch_observed": self.batcher.stats.max_batch_observed,
             },
+            "streaming_sessions": len(self._sessions),
         }
 
     def warmup(self) -> float:
@@ -120,6 +133,55 @@ class DemixService:
         return buf.getvalue()
 
 
+    # -- streaming sessions ---------------------------------------------------
+
+    def stream_start(self, wiener: bool) -> str:
+        import uuid
+
+        from umx_tpu.engine.streaming import StreamingDemixer
+
+        cfg = self._dataclasses.replace(self.separator.cfg, use_wiener=wiener)
+        with self._sessions_lock:
+            if len(self._sessions) >= self.max_sessions:
+                raise RuntimeError(
+                    f"too many streaming sessions (max {self.max_sessions}); "
+                    "close one first"
+                )
+            sid = uuid.uuid4().hex[:12]
+            self._sessions[sid] = (
+                StreamingDemixer(self.separator.params, cfg),
+                threading.Lock(),
+            )
+        return sid
+
+    def _session(self, sid: str):
+        with self._sessions_lock:
+            if sid not in self._sessions:
+                raise KeyError(f"unknown streaming session {sid!r}")
+            return self._sessions[sid]
+
+    def stream_push(self, sid: str, pcm_bytes: bytes) -> bytes:
+        import numpy as np
+
+        if len(pcm_bytes) % 8:
+            raise ValueError("stream body must be float32 interleaved stereo")
+        frames = np.frombuffer(pcm_bytes, np.float32).reshape(-1, 2)
+        demixer, lock = self._session(sid)
+        with lock:
+            stems = demixer.push(np.ascontiguousarray(frames.T))
+        return np.ascontiguousarray(stems, np.float32).tobytes()
+
+    def stream_close(self, sid: str) -> bytes:
+        import numpy as np
+
+        demixer, lock = self._session(sid)
+        with lock:
+            stems = demixer.flush()
+        with self._sessions_lock:
+            self._sessions.pop(sid, None)
+        return np.ascontiguousarray(stems, np.float32).tobytes()
+
+
 def make_handler(service: DemixService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -144,12 +206,43 @@ def make_handler(service: DemixService):
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
+        def _raw(self, payload: bytes, samples: int):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("X-Stems-Samples", str(samples))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_POST(self):
             url = urlparse(self.path)
+            q = parse_qs(url.query)
+            if url.path.startswith("/stream/"):
+                try:
+                    if url.path == "/stream/start":
+                        sid = service.stream_start(
+                            wiener=q.get("wiener", ["1"])[0] != "0"
+                        )
+                        self._json(200, {"session": sid})
+                    elif url.path in ("/stream/push", "/stream/close"):
+                        sid = q.get("session", [""])[0]
+                        if url.path == "/stream/push":
+                            length = int(self.headers.get("Content-Length", "0"))
+                            body = self.rfile.read(length) if length else b""
+                            payload = service.stream_push(sid, body)
+                        else:
+                            payload = service.stream_close(sid)
+                        self._raw(payload, len(payload) // (4 * 4 * 2))
+                    else:
+                        self._json(404, {"error": f"unknown path {url.path}"})
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._json(400, {"error": str(e)})
+                return
             if url.path != "/demix":
                 self._json(404, {"error": f"unknown path {url.path}"})
                 return
-            q = parse_qs(url.query)
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
