@@ -26,6 +26,13 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--mesh", action="store_true", help="shard over all devices (dp x tp)")
+    p.add_argument("--valid-tracks", type=int, default=0,
+                   help="hold out the last N tracks for validation; enables the "
+                   "full recipe (plateau LR decay + early stopping)")
+    p.add_argument("--valid-every", type=int, default=50, help="steps between validations")
+    p.add_argument("--lr-decay-gamma", type=float, default=0.3)
+    p.add_argument("--lr-decay-patience", type=int, default=80)
+    p.add_argument("--early-stop-patience", type=int, default=140)
     args = p.parse_args(argv)
 
     from umx_tpu.config import DSPConfig, ModelConfig
@@ -33,12 +40,25 @@ def main(argv=None) -> int:
     from umx_tpu.train import TrainConfig, export_ggml
 
     mcfg = ModelConfig(hidden_size=args.hidden_size)
-    tcfg = TrainConfig(learning_rate=args.lr, seq_len=args.seq_len)
-    dsp = DSPConfig()
-    dataset = StemDataset(
-        args.data_root, excerpt_samples=dsp.hop * (args.seq_len - 1)
+    tcfg = TrainConfig(
+        learning_rate=args.lr,
+        seq_len=args.seq_len,
+        lr_decay_gamma=args.lr_decay_gamma,
+        lr_decay_patience=args.lr_decay_patience,
+        early_stop_patience=args.early_stop_patience,
     )
-    print(f"{len(dataset.tracks)} training tracks")
+    dsp = DSPConfig()
+    excerpt = dsp.hop * (args.seq_len - 1)
+    valid_dataset = None
+    if args.valid_tracks > 0:
+        dataset = StemDataset(args.data_root, excerpt_samples=excerpt,
+                              split="train", n_valid_tracks=args.valid_tracks)
+        valid_dataset = StemDataset(args.data_root, excerpt_samples=excerpt,
+                                    split="valid", n_valid_tracks=args.valid_tracks)
+        print(f"{len(dataset.tracks)} training / {len(valid_dataset.tracks)} validation tracks")
+    else:
+        dataset = StemDataset(args.data_root, excerpt_samples=excerpt)
+        print(f"{len(dataset.tracks)} training tracks")
 
     mesh = None
     if args.mesh:
@@ -50,8 +70,14 @@ def main(argv=None) -> int:
     state, losses = train_loop(
         dataset, mcfg, tcfg, steps=args.steps, batch_size=args.batch_size,
         mesh=mesh, checkpoint_dir=args.checkpoint_dir,
+        valid_dataset=valid_dataset, valid_every=args.valid_every,
     )
     print(f"final loss {losses[-1]:.5f}")
+    if valid_dataset is not None and losses.valid:
+        print(
+            f"best valid {losses.best_valid:.5f} at step {losses.best_step}"
+            + (" (early-stopped)" if losses.stopped_early else "")
+        )
     export_ggml(state.params, args.out_model, mcfg)
     print(f"wrote {args.out_model}")
     return 0

@@ -76,6 +76,50 @@ def test_train_loop_runs_and_improves(stem_root):
     assert losses[-1] < losses[0]
 
 
+def test_train_valid_split_disjoint(stem_root):
+    train = StemDataset(stem_root, excerpt_samples=4000, split="train", n_valid_tracks=1)
+    valid = StemDataset(stem_root, excerpt_samples=4000, split="valid", n_valid_tracks=1)
+    assert train.tracks == ["track_a"]
+    assert valid.tracks == ["track_b"]
+    with pytest.raises(ValueError):
+        StemDataset(stem_root, excerpt_samples=4000, split="bogus")
+
+
+def test_fixed_batches_deterministic_and_aligned(stem_root):
+    ds = StemDataset(stem_root, excerpt_samples=8000, split="valid", seed=9)
+    a = list(ds.fixed_batches(2, 2))
+    b = list(ds.fixed_batches(2, 2))
+    assert len(a) == 2
+    for (ma, ta), (mb, tb) in zip(a, b):
+        assert ma.shape == (2, 2, 8000) and ta.shape == (2, 4, 2, 8000)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_allclose(ma, ta.sum(axis=1), atol=1e-6)
+
+
+def test_train_loop_validation_recipe(stem_root):
+    """With lr=0 the loss is constant, so the first validation sets the
+    best and every later one is non-improving: early stop must fire and
+    the history must carry the recipe record."""
+    from umx_tpu.config import ModelConfig
+    from umx_tpu.train import TrainConfig
+
+    mcfg = ModelConfig(hidden_size=32)
+    tcfg = TrainConfig(seq_len=8, learning_rate=0.0, early_stop_patience=1,
+                       lr_decay_patience=1000)
+    train = StemDataset(stem_root, excerpt_samples=1024 * 7, split="train", seed=4)
+    valid = StemDataset(stem_root, excerpt_samples=1024 * 7, split="valid", seed=4)
+    _, hist = train_loop(
+        train, mcfg, tcfg, steps=20, batch_size=2, log_every=0,
+        valid_dataset=valid, valid_every=2, valid_batches=1,
+    )
+    assert hist.stopped_early
+    assert len(hist) == 6  # stops at the 3rd validation (bad 2 > patience 1)
+    assert len(hist.valid) == 3
+    assert hist.best_step == 2
+    assert np.isfinite(hist.best_valid)
+    assert [lr for _, lr in hist.lrs] == [0.0, 0.0, 0.0]
+
+
 def test_non_source_mixing_stems_are_time_aligned(stem_root):
     # ADVICE r1: without source_mixing the 4 stems must share ONE track,
     # start offset, gain, and channel swap (coherent MUSDB semantics)

@@ -89,6 +89,51 @@ def test_checkpoint_round_trip(tmp_path, cfg, tcfg):
     assert int(restored.step) == int(state.step)
 
 
+def test_lr_is_runtime_settable(cfg, tcfg, batch):
+    """The injected LR must change optimizer behavior without retracing:
+    with lr=0 the trainable params stay EXACTLY put."""
+    import jax
+
+    from umx_tpu.train import get_lr, set_lr
+
+    params = synthetic_params(cfg, seed=3)
+    state = init_train_state(params, tcfg)
+    assert get_lr(state.opt_state) == pytest.approx(tcfg.learning_rate)
+    state = TrainState(state.params, set_lr(state.opt_state, 0.0), state.step)
+    step = jax.jit(make_train_step(cfg, tcfg))
+    state2, _ = step(state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params.fc1_w), np.asarray(params.fc1_w)
+    )
+    assert get_lr(state2.opt_state) == 0.0
+
+
+def test_plateau_scheduler_semantics():
+    from umx_tpu.train import PlateauScheduler
+
+    s = PlateauScheduler(lr=1.0, gamma=0.5, patience=2, cooldown=1)
+    assert s.update(1.0) == 1.0  # new best
+    assert s.update(1.0) == 1.0  # bad 1
+    assert s.update(1.0) == 1.0  # bad 2 (== patience, not yet >)
+    assert s.update(1.0) == 0.5  # bad 3 > patience -> decay
+    assert s.update(1.0) == 0.5  # cooldown round: no counting
+    assert s.update(0.5) == 0.5  # improvement resets
+    assert s.best == 0.5
+
+
+def test_early_stopper_semantics():
+    from umx_tpu.train import EarlyStopper
+
+    e = EarlyStopper(patience=1)
+    assert not e.update(1.0)  # best
+    assert not e.update(1.0)  # bad 1
+    assert e.update(1.0)  # bad 2 > patience
+    e2 = EarlyStopper(patience=1)
+    assert not e2.update(1.0)
+    assert not e2.update(0.9)  # keeps improving
+    assert not e2.update(0.8)
+
+
 def test_export_ggml_round_trip(tmp_path, cfg):
     from umx_tpu.io.ggml import read_ggml
     from umx_tpu.models.umx import params_from_ggml

@@ -42,9 +42,14 @@ class StemDataset:
     # decoded-track memo bound (a full MUSDB train set decoded is ~30 GB;
     # evict oldest beyond this many tracks)
     max_cached_tracks: int = 16
+    # train/validation split: "all" uses every track; "train"/"valid"
+    # hold out the LAST ``n_valid_tracks`` (sorted order — deterministic,
+    # the generic-directory analogue of MUSDB's fixed validation list)
+    split: str = "all"
+    n_valid_tracks: int = 1
 
     def __post_init__(self):
-        self.tracks = sorted(
+        all_tracks = sorted(
             d
             for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
@@ -52,9 +57,18 @@ class StemDataset:
                 os.path.exists(os.path.join(self.root, d, f"{t}.wav")) for t in TARGETS
             )
         )
+        if self.split == "all":
+            self.tracks = all_tracks
+        elif self.split == "train":
+            self.tracks = all_tracks[: len(all_tracks) - self.n_valid_tracks]
+        elif self.split == "valid":
+            self.tracks = all_tracks[len(all_tracks) - self.n_valid_tracks :]
+        else:
+            raise ValueError(f"unknown split {self.split!r}")
         if not self.tracks:
             raise FileNotFoundError(
                 f"no stem folders with {'/'.join(TARGETS)}.wav under {self.root}"
+                f" (split={self.split!r})"
             )
         self._rng = np.random.default_rng(self.seed)
         self._cache: dict[str, np.ndarray] = {}
@@ -133,6 +147,47 @@ class StemDataset:
         mix = targets.sum(axis=1)
         return mix, targets
 
+    def fixed_batches(self, batch_size: int, n_batches: int):
+        """Deterministic UN-augmented aligned excerpts for validation:
+        example ``i`` takes track ``i % n_tracks`` at an evenly spaced
+        start offset — the same batches every call, so validation losses
+        across steps/runs are comparable."""
+        L = self.excerpt_samples
+        total = batch_size * n_batches
+        examples = []
+        for i in range(total):
+            track = self.tracks[i % len(self.tracks)]
+            stems = self._load_stems(track)
+            n = stems.shape[-1]
+            if n <= L:
+                pad = np.zeros((len(TARGETS), 2, L), np.float32)
+                pad[..., :n] = stems
+                examples.append(pad)
+            else:
+                k = i // len(self.tracks)
+                n_slots = max(1, total // len(self.tracks))
+                start = (k * max(1, (n - L) // n_slots)) % (n - L)
+                examples.append(stems[..., start : start + L].copy())
+        for b in range(n_batches):
+            targets = np.stack(examples[b * batch_size : (b + 1) * batch_size])
+            yield targets.sum(axis=1), targets
+
+
+class TrainHistory(list):
+    """The train-loss list, plus the validation-driven recipe record.
+
+    Subclasses list so existing callers treating it as ``losses`` keep
+    working; the extra attributes carry the open-unmix-recipe state.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.valid: list[tuple[int, float]] = []  # (step, valid loss)
+        self.lrs: list[tuple[int, float]] = []  # (step, lr after sched)
+        self.best_valid: float = float("inf")
+        self.best_step: int = 0
+        self.stopped_early: bool = False
+
 
 def train_loop(
     dataset: StemDataset,
@@ -144,18 +199,34 @@ def train_loop(
     mesh=None,
     log_every: int = 50,
     checkpoint_dir: str | None = None,
+    valid_dataset: StemDataset | None = None,
+    valid_every: int = 50,
+    valid_batches: int = 4,
 ):
-    """Reference training loop gluing dataset → batches → sharded steps."""
+    """Reference training loop gluing dataset → batches → sharded steps.
+
+    With a ``valid_dataset`` this runs the full upstream open-unmix
+    recipe: every ``valid_every`` steps the deterministic validation loss
+    drives ReduceLROnPlateau (LR lowered in-place in the optimizer state
+    — no retrace) and EarlyStopping, and the best-validation checkpoint
+    is what ``checkpoint_dir`` keeps (as ``best``).
+    """
     import jax
 
     from umx_tpu.config import DSPConfig
     from umx_tpu.models.umx import synthetic_params
     from umx_tpu.train import (
+        EarlyStopper,
+        PlateauScheduler,
+        TrainState,
+        get_lr,
         init_train_state,
         make_batch_from_audio,
+        make_eval_step,
         make_sharded_train_step,
         make_train_step,
         save_checkpoint,
+        set_lr,
     )
     from umx_tpu.utils import logging as log
 
@@ -173,16 +244,54 @@ def train_loop(
         shard_batch = lambda b: b  # noqa: E731
 
     dsp = DSPConfig(sample_rate=dataset.sample_rate)
-    losses = []
+    eval_step = make_eval_step(model_cfg) if valid_dataset is not None else None
+    sched = PlateauScheduler(
+        lr=train_cfg.learning_rate,
+        gamma=train_cfg.lr_decay_gamma,
+        patience=train_cfg.lr_decay_patience,
+        cooldown=train_cfg.lr_decay_cooldown,
+    )
+    stopper = EarlyStopper(patience=train_cfg.early_stop_patience)
+
+    def validate(st: TrainState) -> float:
+        vals = []
+        for vmix, vtargets in valid_dataset.fixed_batches(batch_size, valid_batches):
+            vb = shard_batch(
+                make_batch_from_audio(vmix, vtargets, model_cfg, dsp, train_cfg.seq_len)
+            )
+            vals.append(float(eval_step(st.params, vb)))
+        return float(np.mean(vals))
+
+    history = TrainHistory()
     for i in range(steps):
         mix, targets = dataset.sample(batch_size)
         batch = shard_batch(
             make_batch_from_audio(mix, targets, model_cfg, dsp, train_cfg.seq_len)
         )
         state, loss = step(state, batch)
-        losses.append(float(loss))
+        history.append(float(loss))
         if log_every and (i + 1) % log_every == 0:
-            log.info(f"step {i + 1}/{steps} loss {np.mean(losses[-log_every:]):.5f}")
+            log.info(f"step {i + 1}/{steps} loss {np.mean(history[-log_every:]):.5f}")
         if checkpoint_dir and (i + 1) % max(1, steps // 5) == 0:
             save_checkpoint(os.path.join(checkpoint_dir, f"step_{i + 1}"), state)
-    return state, losses
+
+        if eval_step is not None and (i + 1) % valid_every == 0:
+            vloss = validate(state)
+            history.valid.append((i + 1, vloss))
+            if vloss < history.best_valid:
+                history.best_valid = vloss
+                history.best_step = i + 1
+                if checkpoint_dir:
+                    save_checkpoint(os.path.join(checkpoint_dir, "best"), state)
+            new_lr = sched.update(vloss)
+            if new_lr != get_lr(state.opt_state):
+                log.info(f"step {i + 1}: plateau — lr -> {new_lr:.2e}")
+                state = TrainState(
+                    state.params, set_lr(state.opt_state, new_lr), state.step
+                )
+            history.lrs.append((i + 1, new_lr))
+            if stopper.update(vloss):
+                log.info(f"step {i + 1}: early stop (best {stopper.best:.5f})")
+                history.stopped_early = True
+                break
+    return state, history

@@ -47,6 +47,15 @@ class TrainConfig:
     weight_decay: float = 1e-5
     # sequence length (frames) per training example
     seq_len: int = 256
+    # -- the upstream open-unmix recipe knobs (train.py of the vendored
+    # open-unmix-pytorch, SURVEY §2c): ReduceLROnPlateau(factor=0.3,
+    # patience=80, cooldown=10) + EarlyStopping(patience=140), both
+    # driven by the validation loss.  Patience here counts VALIDATION
+    # ROUNDS (one per `valid_every` steps), the epoch analogue.
+    lr_decay_gamma: float = 0.3
+    lr_decay_patience: int = 80
+    lr_decay_cooldown: int = 10
+    early_stop_patience: int = 140
 
 
 def _param_labels() -> UMXParams:
@@ -66,13 +75,84 @@ def _param_labels() -> UMXParams:
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.multi_transform(
-        {
-            "train": optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay),
-            "freeze": optax.set_to_zero(),
-        },
-        _param_labels(),
-    )
+    """AdamW over the trainable group, with the learning rate lifted into
+    the optimizer STATE (optax.inject_hyperparams) so the host-side
+    plateau scheduler can lower it mid-run without retracing the jitted
+    train step — the LR rides as a traced scalar, not a compile-time
+    constant."""
+
+    def inner(learning_rate):
+        return optax.multi_transform(
+            {
+                "train": optax.adamw(learning_rate, weight_decay=tcfg.weight_decay),
+                "freeze": optax.set_to_zero(),
+            },
+            _param_labels(),
+        )
+
+    return optax.inject_hyperparams(inner)(learning_rate=tcfg.learning_rate)
+
+
+def get_lr(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def set_lr(opt_state, lr: float):
+    """New opt_state with the injected learning rate replaced (placed with
+    the old scalar's sharding so sharded training keeps its layout)."""
+    old = opt_state.hyperparams["learning_rate"]
+    new = jax.device_put(jnp.asarray(lr, jnp.float32), old.sharding)
+    return opt_state._replace(hyperparams={**opt_state.hyperparams, "learning_rate": new})
+
+
+@dataclass
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (torch semantics, as used by the
+    upstream open-unmix trainer): when the monitored loss hasn't improved
+    for ``patience`` rounds, multiply the LR by ``gamma``, then pause
+    counting for ``cooldown`` rounds."""
+
+    lr: float
+    gamma: float = 0.3
+    patience: int = 80
+    cooldown: int = 10
+    best: float = float("inf")
+    _bad: int = 0
+    _cool: int = 0
+
+    def update(self, loss: float) -> float:
+        """Feed one validation loss; returns the (possibly lowered) LR."""
+        if loss < self.best:
+            self.best = loss
+            self._bad = 0
+        elif self._cool > 0:
+            self._cool -= 1
+        else:
+            self._bad += 1
+            if self._bad > self.patience:
+                self.lr *= self.gamma
+                self._bad = 0
+                self._cool = self.cooldown
+        return self.lr
+
+
+@dataclass
+class EarlyStopper:
+    """Stop when the monitored loss hasn't improved by ``min_delta`` for
+    ``patience`` validation rounds (upstream utils.EarlyStopping)."""
+
+    patience: int = 140
+    min_delta: float = 0.0
+    best: float = float("inf")
+    _bad: int = 0
+
+    def update(self, loss: float) -> bool:
+        if loss < self.best - self.min_delta:
+            self.best = loss
+            self._bad = 0
+            return False
+        self._bad += 1
+        return self._bad > self.patience
 
 
 def init_train_state(params: UMXParams, tcfg: TrainConfig) -> TrainState:
@@ -96,6 +176,11 @@ def mask_loss(params: UMXParams, batch: dict[str, Array], cfg: ModelConfig) -> A
     masks = jax.vmap(one)(batch["x"])  # (B, T#, T, O)
     pred = jax.vmap(lambda m, mg: apply_masks(m, mg, cfg.n_bins))(masks, batch["mix_mag"])
     return jnp.mean(jnp.square(pred - batch["target_mag"]))
+
+
+def make_eval_step(cfg: ModelConfig):
+    """Jitted validation loss: same objective as training, no grad."""
+    return jax.jit(partial(mask_loss, cfg=cfg))
 
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig):
