@@ -46,6 +46,20 @@ def test_info(server):
     assert body["targets"] == ["bass", "drums", "other", "vocals"]
 
 
+def test_info_autoscaling_signals(server):
+    _, body = _get(server + "/info")
+    auto = body["autoscaling"]
+    assert set(auto) == {
+        "busy_fraction", "queue_depth", "avg_batch_fill", "batch_headroom", "scale_hint"
+    }
+    assert 0.0 <= auto["busy_fraction"] <= 1.0
+    assert auto["queue_depth"] >= 0
+    assert auto["scale_hint"] in ("up", "steady", "down")
+    # an idle server with no sessions must never claim it needs scale-up
+    if auto["queue_depth"] == 0 and body["streaming_sessions"] == 0:
+        assert auto["scale_hint"] in ("steady", "down")
+
+
 def test_demix_round_trip(server):
     from scipy.io import wavfile
 

@@ -38,6 +38,9 @@ class BatcherStats:
     jobs: int = 0
     device_calls: int = 0
     max_batch_observed: int = 0
+    # cumulative wall seconds the worker spent inside device calls — the
+    # device-utilization numerator for autoscaling decisions
+    busy_s: float = 0.0
 
 
 class SegmentBatcher:
@@ -50,11 +53,14 @@ class SegmentBatcher:
     """
 
     def __init__(self, max_batch: int = 4, max_wait_ms: float = 5.0):
+        import time
+
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._fns: dict[Any, Any] = {}
         self.stats = BatcherStats()
+        self._started = time.monotonic()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._worker.start()
@@ -136,7 +142,21 @@ class SegmentBatcher:
                     if not fut.done():
                         fut.set_exception(e)
 
+    def utilization(self) -> float:
+        """Fraction of wall time the device worker has been busy since
+        construction — the primary autoscaling signal."""
+        import time
+
+        up = time.monotonic() - self._started
+        return self.stats.busy_s / up if up > 0 else 0.0
+
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
     def _execute(self, key, group):
+        import time
+
+        t0 = time.monotonic()
         B = len(group)
         params = group[0][1]
         # pad to a compiled size: 1 stays 1, anything larger pads to
@@ -147,9 +167,17 @@ class SegmentBatcher:
         audio_b = jnp.stack([jnp.asarray(a, jnp.float32) for a in audios])
         state_b = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         out_b, new_state_b = self._batched_fn(key, size)(params, audio_b, state_b)
+        # one 4-byte scalar fetch = completion barrier (block_until_ready
+        # is not a barrier on the tunneled backend) so busy_s measures
+        # real device time, not dispatch time; callers block on the
+        # results right after anyway
+        import numpy as _np
+
+        _np.asarray(out_b[0, 0, 0, 0])
         self.stats.jobs += B
         self.stats.device_calls += 1
         self.stats.max_batch_observed = max(self.stats.max_batch_observed, B)
+        self.stats.busy_s += time.monotonic() - t0
         for i, (_, _, _, _, fut) in enumerate(group):
             st_i = jax.tree.map(lambda x, i=i: x[i], new_state_b)
             fut.set_result((out_b[i], st_i))

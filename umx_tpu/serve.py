@@ -7,7 +7,9 @@ module exposes the engine over HTTP (stdlib only):
 
 Endpoints:
     GET  /healthz          -> {"status": "ok", ...}
-    GET  /info             -> model/engine configuration
+    GET  /info             -> model/engine configuration + autoscaling
+                              signals (busy fraction, queue depth, batch
+                              fill, scale hint)
     POST /demix            -> body: WAV bytes (44.1 kHz mono/stereo);
                               response: uncompressed ZIP containing
                               target_{0..3}.wav
@@ -90,6 +92,37 @@ class DemixService:
                 "max_batch_observed": self.batcher.stats.max_batch_observed,
             },
             "streaming_sessions": len(self._sessions),
+            "autoscaling": self.autoscaling(),
+        }
+
+    def autoscaling(self) -> dict:
+        """Batcher-aware scaling signals for an external autoscaler.
+
+        * ``busy_fraction`` — device-worker utilization since start;
+        * ``queue_depth`` — jobs waiting for a device slot right now;
+        * ``avg_batch_fill`` — mean jobs per device call: below
+          ``max_batch`` there is FREE capacity on this replica (extra
+          batch rows cost ~nothing, PERF.md recurrence-floor analysis),
+          so scale out only once fill saturates;
+        * ``scale_hint`` — "up" | "steady" | "down".
+        """
+        st = self.batcher.stats
+        busy = round(self.batcher.utilization(), 4)
+        depth = self.batcher.queue_depth()
+        fill = round(st.jobs / st.device_calls, 2) if st.device_calls else 0.0
+        saturated = fill >= 0.9 * self.batcher.max_batch
+        if depth > self.batcher.max_batch or (busy > 0.8 and saturated):
+            hint = "up"
+        elif busy < 0.15 and depth == 0 and not self._sessions:
+            hint = "down"
+        else:
+            hint = "steady"
+        return {
+            "busy_fraction": busy,
+            "queue_depth": depth,
+            "avg_batch_fill": fill,
+            "batch_headroom": max(0.0, self.batcher.max_batch - fill),
+            "scale_hint": hint,
         }
 
     def warmup(self) -> float:
