@@ -21,8 +21,11 @@ Env knobs:
   UMX_BENCH_REPS          (default 5 timed segments, per-segment mode)
   UMX_BENCH_WIENER        (default 1)
   UMX_BENCH_DTYPE         (default float32; bfloat16 for the fast path)
-  UMX_BENCH_BATCH         (default 1; >1 = B tracks' segments batched,
-                           the fleet/serving throughput configuration)
+  UMX_BENCH_BATCH         (default 1; >1 with TRACK_SECS=0 = B tracks'
+                           segments batched; >1 with TRACK_SECS>0 = B
+                           WHOLE TRACKS batched through the fused-track
+                           program — the single-chip fleet/serving
+                           throughput configuration)
   UMX_BENCH_QUANTIZED     (default 0; 1 = u8/u16 weights HBM-resident
                            with dequant fused into the gemms)
   UMX_TPU_MODEL           (optional path to a real ggml file)
@@ -96,6 +99,57 @@ def main() -> int:
     import numpy as np
 
     rng = np.random.default_rng(0)
+
+    if track_secs > 0 and batch > 1:
+        # B whole tracks batched through ONE fused-track program — the
+        # single-chip fleet/serving shape (engine/fleet.py's bucket call):
+        # batch rows amortize the BLSTM latency floor across tracks
+        import math
+
+        from umx_tpu.engine.fleet import _batched_demix
+        from umx_tpu.engine.memory import suggest_max_batch
+        from umx_tpu.models.umx import init_lstm_state as _init_state
+
+        fit = suggest_max_batch(cfg, track_secs)
+        if batch > fit:
+            print(
+                f"# WARNING: batch {batch} likely exceeds HBM for "
+                f"{track_secs:.0f}s tracks (estimator suggests <= {fit})",
+                file=sys.stderr,
+            )
+
+        sr = cfg.dsp.sample_rate
+        seg = cfg.segment.segment_samples(sr)
+        stride = cfg.segment.stride_samples(sr)
+        length = int(track_secs * sr)
+        n_chunks = max(1, math.ceil(length / stride))
+        padded = (n_chunks - 1) * stride + seg
+        audio_b = jnp.asarray(
+            rng.uniform(-0.5, 0.5, (batch, 2, padded)).astype(np.float32)
+        )
+        st = _init_state(cfg.model)
+        states = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), st)
+        fn = _batched_demix(cfg, n_chunks, seg, stride)
+        t0 = time.perf_counter()
+        out, _st = fn(params, audio_b, states)
+        _ = float(jnp.sum(out))
+        print(f"# batched-track compile+first-run: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        walls = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            out, _st = fn(params, audio_b, states)
+            _ = float(jnp.sum(out))
+            walls.append(time.perf_counter() - t0)
+        wall = sorted(walls)[1]
+        xrt = batch * track_secs / wall
+        print(json.dumps({
+            "metric": f"xRT_umxl_whole_track_{int(track_secs)}s_fused_batch{batch}",
+            "value": round(xrt, 2),
+            "unit": "audio_sec_per_wall_sec",
+            "vs_baseline": round(xrt / 100.0, 4),
+        }))
+        return 0
 
     if track_secs > 0:
         # whole-track fused-scan mode (BASELINE config 4: long-track

@@ -190,21 +190,25 @@ def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
         init = jnp.zeros((*mid, padded_len), ys.dtype)
         return jax.lax.fori_loop(0, n_chunks, add, init)
 
-    # heads: (n_chunks, ..., stride) -> (..., n_chunks*stride)
-    heads = jnp.moveaxis(ys[..., :stride], 0, -2).reshape(*mid, n_chunks * stride)
-    # tails land at (k+1)*stride; pad each to a full stride then shift.
-    # The extended buffer absorbs the last tail's padding; trimmed after.
-    tails = ys[..., stride:]
+    # Chunk k's head occupies [k*stride, (k+1)*stride) and its tail
+    # [(k+1)*stride, ...), i.e. head_k overlaps exactly tail_{k-1}.
+    # Summing heads with the chunk-shifted tails FIRST — while still in
+    # the scan's chunk-major layout — leaves ONE transposed reshape to
+    # interleave to the time axis.  (The previous two-transpose form
+    # materialized two (n_chunks, ..., stride) layout copies; at batched
+    # whole-track scale those were the largest allocations in the
+    # program, one with 1.6x tiling-padding expansion.)  No strided
+    # .at[].add anywhere — XLA:TPU rewrites that pattern into a slow
+    # convolution fusion.
     tails = jnp.pad(
-        tails, [(0, 0)] * (tails.ndim - 1) + [(0, stride - tail_len)]
+        ys[..., stride:], [(0, 0)] * (ys.ndim - 1) + [(0, stride - tail_len)]
+    )  # (n_chunks, ..., stride)
+    combined = ys[..., :stride] + jnp.concatenate(
+        [jnp.zeros_like(tails[:1]), tails[:-1]], axis=0
     )
-    tails = jnp.moveaxis(tails, 0, -2).reshape(*mid, n_chunks * stride)
-    # pure pad + add (no strided .at[].add — XLA:TPU rewrites that
-    # pattern into a slow convolution fusion)
-    lead_pad = [(0, 0)] * len(mid)
-    out = jnp.pad(heads, lead_pad + [(0, stride)]) + jnp.pad(
-        tails, lead_pad + [(stride, 0)]
-    )
+    flat = jnp.moveaxis(combined, 0, -2).reshape(*mid, n_chunks * stride)
+    # the last chunk's tail extends past n_chunks*stride
+    out = jnp.concatenate([flat, tails[-1]], axis=-1)
     return out[..., :padded_len]
 
 
