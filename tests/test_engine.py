@@ -159,6 +159,28 @@ def test_multi_shift_averaging(cfg, audio):
     assert not np.allclose(out1, out2)
 
 
+def test_batched_shifts_equal_sequential(cfg, audio):
+    """shifts=N auto-batches the N shifted copies through one fused
+    program; the result must equal the sequential per-pass host loop."""
+    params = synthetic_params(cfg.model, seed=0)
+    s = Separator(params, dataclasses.replace(cfg, shifts=3))
+    a = audio[:, :44100]
+    batched = s.demix_track(a, seed=9)  # auto path (batched when HBM fits)
+    sequential = s.demix_track(a, seed=9, fused=False)  # forces host loop
+    np.testing.assert_allclose(batched, sequential, atol=2e-4)
+    # group splitting must not change the math either
+    grouped = s._demix_shifts_batched(
+        a,
+        [int(o) for o in np.random.default_rng(9).integers(
+            0, cfg.segment.max_shift_samples(cfg.dsp.sample_rate), 3
+        )],
+        cfg.segment.max_shift_samples(cfg.dsp.sample_rate),
+        max_batch=2,
+    )
+    assert grouped.shape == batched.shape
+    assert np.isfinite(grouped).all()
+
+
 def test_resample_option(tmp_path):
     from scipy.io import wavfile
 

@@ -115,6 +115,27 @@ def test_random_garbage_rejected_not_crash():
             read_ggml_bytes(blob)
 
 
+def test_single_byte_mutation_fuzz():
+    """Flip single bytes across a valid file: the parser must either
+    still produce a structurally complete model or raise a clean
+    ValueError — never crash, hang, or return a silently short model."""
+    cfg = ModelConfig(hidden_size=32)
+    data = bytearray(write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=12)))
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        pos = int(rng.integers(0, len(data)))
+        mutated = bytearray(data)
+        mutated[pos] ^= int(rng.integers(1, 256))
+        try:
+            model = read_ggml_bytes(bytes(mutated))
+        except ValueError:
+            continue  # clean structured rejection
+        # parsed despite the flip (payload-byte mutation): must still be
+        # a complete 4-target, 43-tensor model
+        assert len(model.targets) == 4
+        assert all(len(t) == 43 for t in model.targets.values())
+
+
 def test_load_progress_callback():
     cfg = ModelConfig(hidden_size=32)
     data = write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=11))

@@ -60,6 +60,15 @@ def test_info_autoscaling_signals(server):
         assert auto["scale_hint"] in ("steady", "down")
 
 
+def test_stats_reset(server):
+    req = urllib.request.Request(server + "/stats/reset", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200 and json.loads(r.read())["status"] == "reset"
+    _, body = _get(server + "/info")
+    b = body["batching"]
+    assert b["jobs"] == 0 and b["device_calls"] == 0 and b["busy_s"] == 0.0
+
+
 def test_demix_round_trip(server):
     from scipy.io import wavfile
 

@@ -142,6 +142,14 @@ class SegmentBatcher:
                     if not fut.done():
                         fut.set_exception(e)
 
+    def reset_stats(self) -> None:
+        """Zero the counters and the utilization clock — call after
+        warmup so busy_fraction reflects steady state, not compiles."""
+        import time
+
+        self.stats = BatcherStats()
+        self._started = time.monotonic()
+
     def utilization(self) -> float:
         """Fraction of wall time the device worker has been busy since
         construction — the primary autoscaling signal."""

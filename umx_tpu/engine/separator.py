@@ -441,9 +441,21 @@ class Separator:
 
         max_shift = cfg.segment.max_shift_samples(cfg.dsp.sample_rate)
         rng = np.random.default_rng(seed)
+        offsets = [int(rng.integers(0, max_shift)) for _ in range(cfg.shifts)]
+
+        if cfg.shifts > 1 and fused is not False and segment_fn is None and progress is None:
+            # The N shifted copies are independent equal-length tracks:
+            # batch them through ONE fused program (batch rows amortize
+            # the BLSTM latency floor — PERF.md), bounded by the HBM
+            # capacity planner, instead of N sequential full passes.
+            from umx_tpu.engine.memory import suggest_max_batch
+
+            fit = suggest_max_batch(cfg, (length + max_shift) / cfg.dsp.sample_rate)
+            if fit >= 2:
+                return self._demix_shifts_batched(audio, offsets, max_shift, fit)
+
         acc = None
-        for s in range(cfg.shifts):
-            offset = int(rng.integers(0, max_shift))
+        for offset in offsets:
             shifted = np.pad(audio, ((0, 0), (offset, max_shift - offset)))
             out = np.asarray(
                 self.demix(shifted, progress=progress, fused=fused, segment_fn=segment_fn)
@@ -451,3 +463,36 @@ class Separator:
             out = out[..., offset : offset + length]
             acc = out if acc is None else acc + out
         return acc / cfg.shifts
+
+    def _demix_shifts_batched(
+        self, audio: np.ndarray, offsets: list[int], max_shift: int, max_batch: int
+    ) -> np.ndarray:
+        """All shift passes as batch rows of the fused-track program."""
+        from umx_tpu.engine.fleet import _batched_demix
+
+        cfg = self.cfg
+        sr = cfg.dsp.sample_rate
+        seg = cfg.segment.segment_samples(sr)
+        stride = cfg.segment.stride_samples(sr)
+        length = audio.shape[1]
+        shifted_len = length + max_shift
+        n_chunks = max(1, math.ceil(shifted_len / stride))
+        padded_len = (n_chunks - 1) * stride + seg
+
+        acc = None
+        for g in range(0, len(offsets), max_batch):
+            group = offsets[g : g + max_batch]
+            batch = np.zeros((len(group), 2, padded_len), np.float32)
+            for b, off in enumerate(group):
+                batch[b, :, off : off + length] = audio
+            st = init_lstm_state(cfg.model)
+            states = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (len(group), *x.shape)), st
+            )
+            fn = _batched_demix(cfg, n_chunks, seg, stride)
+            out_b, _ = fn(self.params, jnp.asarray(batch), states)
+            out_b = np.asarray(out_b)
+            for b, off in enumerate(group):
+                contrib = out_b[b, ..., off : off + length]
+                acc = contrib.copy() if acc is None else acc + contrib
+        return acc / len(offsets)

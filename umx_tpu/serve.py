@@ -14,6 +14,9 @@ Endpoints:
                               response: uncompressed ZIP containing
                               target_{0..3}.wav
          ?shifts=0|1&wiener=0|1&seed=N
+    POST /stats/reset      -> zero batcher counters + utilization clock
+                              (call after warmup so autoscaling signals
+                              reflect steady state, not compiles)
     POST /stream/start     -> {"session": id}   (?wiener=0|1)
     POST /stream/push?session=id
          body: raw float32 LE interleaved stereo PCM (frames x 2)
@@ -90,6 +93,7 @@ class DemixService:
                 "jobs": self.batcher.stats.jobs,
                 "device_calls": self.batcher.stats.device_calls,
                 "max_batch_observed": self.batcher.stats.max_batch_observed,
+                "busy_s": round(self.batcher.stats.busy_s, 3),
             },
             "streaming_sessions": len(self._sessions),
             "autoscaling": self.autoscaling(),
@@ -250,6 +254,10 @@ def make_handler(service: DemixService):
         def do_POST(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
+            if url.path == "/stats/reset":
+                service.batcher.reset_stats()
+                self._json(200, {"status": "reset"})
+                return
             if url.path.startswith("/stream/"):
                 try:
                     if url.path == "/stream/start":
