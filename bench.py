@@ -108,7 +108,10 @@ def main() -> int:
 
         from umx_tpu.engine.fleet import _batched_demix
         from umx_tpu.engine.memory import suggest_max_batch
+        from umx_tpu.engine.separator import _vmap_cfg
         from umx_tpu.models.umx import init_lstm_state as _init_state
+
+        cfg = _vmap_cfg(cfg, batch)  # batched tracks ride the scan BLSTM
 
         fit = suggest_max_batch(cfg, track_secs)
         if batch > fit:
@@ -190,13 +193,14 @@ def main() -> int:
     n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
     state = init_lstm_state(cfg.model)
     if batch > 1:
-        from umx_tpu.engine.separator import _segment_forward_impl
+        from umx_tpu.engine.separator import _segment_forward_impl, _vmap_cfg
 
+        bcfg = _vmap_cfg(cfg, batch)  # batched segments ride the scan BLSTM
         audio = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, 2, n)).astype(np.float32))
         state = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), state)
         fwd = jax.jit(
             jax.vmap(
-                lambda a, s, p: _segment_forward_impl(p, a, s, cfg, n),
+                lambda a, s, p: _segment_forward_impl(p, a, s, bcfg, n),
                 in_axes=(0, 0, None),
             ),
             static_argnames=(),

@@ -25,6 +25,7 @@ Usage: [UMX_TPU_PLATFORM=cpu] python scripts/parity-fullscale.py
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -154,6 +155,12 @@ def main() -> int:
         elif variant == "qhbm":
             vcfg = cfg
             params = quantized_params_from_ggml(model_deq, mcfg)
+        elif variant == "pallas":
+            # the merged Pallas BLSTM recurrence kernel (TPU only)
+            vcfg = cfg.replace(
+                model=dataclasses.replace(mcfg, lstm_impl="pallas_merged")
+            )
+            params = params_from_ggml(model_deq, mcfg)
         else:
             raise SystemExit(f"unknown variant {variant}")
         print(f"# ours[{variant}]: segment_forward...", file=sys.stderr)

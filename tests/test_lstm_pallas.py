@@ -25,6 +25,20 @@ def cfg_pallas(cfg_scan):
     return dataclasses.replace(cfg_scan, lstm_impl="pallas_interpret")
 
 
+def test_auto_impl_resolution(monkeypatch):
+    """"auto" picks the merged Pallas kernel on TPU and lax.scan
+    elsewhere; explicit choices pass through untouched."""
+    import jax
+
+    from umx_tpu.models.umx import resolve_lstm_impl
+
+    assert resolve_lstm_impl("scan") == "scan"
+    assert resolve_lstm_impl("pallas_merged") == "pallas_merged"
+    assert resolve_lstm_impl("auto") == "scan"  # tests force CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_lstm_impl("auto") == "pallas_merged"
+
+
 @pytest.fixture(scope="module")
 def params(cfg_scan):
     return synthetic_params(cfg_scan, seed=21)

@@ -65,12 +65,15 @@ class ModelConfig:
     nb_bins_cropped: int = 1487
     n_bins: int = 2049
     bn_eps: float = 1e-5
-    # BLSTM recurrence implementation: "scan" = lax.scan (portable);
-    # "pallas" = per-target Pallas kernel (VMEM-resident state/weights);
-    # "pallas_merged" = all targets per step (weights of all 8 chains in
-    # VMEM, independent matmuls pipeline the MXU);
-    # "pallas_interpret" = Pallas interpreter (CPU tests).
-    lstm_impl: Literal["scan", "pallas", "pallas_merged", "pallas_interpret"] = "scan"
+    # BLSTM recurrence implementation: "auto" = pallas_merged on TPU,
+    # scan elsewhere (resolved at trace time; measured 46 -> 33 ms per
+    # 60 s segment network on v5e, PERF.md); "scan" = lax.scan
+    # (portable); "pallas" = per-target Pallas kernel (VMEM-resident
+    # state/weights); "pallas_merged" = all targets per step (weights of
+    # all 8 chains in VMEM, independent matmuls pipeline the MXU);
+    # "pallas_interpret" = Pallas interpreter (CPU tests).  Training
+    # always lowers to "scan" (the recurrence kernel defines no VJP).
+    lstm_impl: Literal["auto", "scan", "pallas", "pallas_merged", "pallas_interpret"] = "auto"
     # timesteps per Pallas grid step (DMA amortization)
     lstm_time_block: int = 8
     # Input/output normalization convention:

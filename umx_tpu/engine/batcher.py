@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.engine.separator import _device_cfg, _segment_forward_impl
+from umx_tpu.engine.separator import _device_cfg, _segment_forward_impl, _vmap_cfg
 
 
 @dataclass
@@ -98,7 +98,8 @@ class SegmentBatcher:
         # compiled programs depend on (cfg, n) only — not params identity
         cache_key = (key[0], key[1], batch_size)
         if cache_key not in self._fns:
-            cfg, n = key[0], key[1]
+            # batched jobs ride the scan BLSTM (see separator._vmap_cfg)
+            cfg, n = _vmap_cfg(key[0], batch_size), key[1]
 
             def one(p, a, s):
                 return _segment_forward_impl(p, a, s, cfg, n)

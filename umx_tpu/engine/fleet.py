@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.engine.separator import _demix_fused_impl, _device_cfg
+from umx_tpu.engine.separator import _demix_fused_impl, _device_cfg, _vmap_cfg
 from umx_tpu.models.umx import UMXParams, init_lstm_state
 
 _batched_cache: dict = {}
@@ -109,11 +109,12 @@ def demix_tracks(
             buckets[item[3]].append(item)
 
         for n_chunks, items in sorted(buckets.items()):
-            fn = _batched_demix(cfg, n_chunks, seg, stride)
             # pad the batch to a multiple of dp with silent tracks
             batch = [it[4] for it in items]
             while len(batch) % dp:
                 batch.append(np.zeros_like(batch[0]))
+            # batched instances ride the scan BLSTM (see _vmap_cfg)
+            fn = _batched_demix(_vmap_cfg(cfg, len(batch)), n_chunks, seg, stride)
             audio_b = jnp.asarray(np.stack(batch))
             st = init_lstm_state(cfg.model)
             states = jax.tree.map(

@@ -97,6 +97,21 @@ def _segment_forward_impl(
     return waves, new_state
 
 
+def _vmap_cfg(cfg: EngineConfig, batch_size: int) -> EngineConfig:
+    """Config for BATCHED (vmapped) segment/track instances: resolve
+    ``lstm_impl="auto"`` to the scan BLSTM.  Under vmap a Pallas kernel's
+    grid gains a leading batch dimension that executes sequentially,
+    while the scan path gets extra batch rows through shared weights for
+    free (PERF.md: B=4 whole-track 841x scan vs 688x merged kernel;
+    B=1 is the reverse, 670x kernel vs 596x scan).  Explicit non-auto
+    choices pass through untouched."""
+    if batch_size > 1 and cfg.model.lstm_impl == "auto":
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, lstm_impl="scan")
+        )
+    return cfg
+
+
 @functools.lru_cache(maxsize=256)
 def _device_cfg(cfg: EngineConfig) -> EngineConfig:
     """Canonicalize the jit static key: zero out host-only fields so
@@ -247,6 +262,7 @@ def _demix_fused_parallel_jit(
     Wiener stage's memory.
     """
     assert not cfg.segment.streaming, "parallel segments require streaming=False"
+    cfg = _vmap_cfg(cfg, chunk_batch)  # batched chunks ride the scan BLSTM
     padded_len = audio_p.shape[-1]
     weight = _transition_weight(seg, cfg.segment.transition_power)
     state = init_lstm_state(cfg.model)
@@ -489,7 +505,7 @@ class Separator:
             states = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (len(group), *x.shape)), st
             )
-            fn = _batched_demix(cfg, n_chunks, seg, stride)
+            fn = _batched_demix(_vmap_cfg(cfg, len(group)), n_chunks, seg, stride)
             out_b, _ = fn(self.params, jnp.asarray(batch), states)
             out_b = np.asarray(out_b)
             for b, off in enumerate(group):

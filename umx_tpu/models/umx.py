@@ -409,8 +409,20 @@ def _forward_one_target(
     return mask, (jnp.stack(hTs), jnp.stack(cTs))
 
 
+def resolve_lstm_impl(impl: str) -> str:
+    """Resolve ``"auto"`` to the fastest implementation for the active
+    backend: the merged Pallas recurrence kernel on TPU (46 -> 33 ms per
+    60 s-segment network on v5e), lax.scan everywhere else (Mosaic
+    kernels only lower on real TPUs).  Resolved at trace time — the
+    default backend is a process-level property."""
+    if impl != "auto":
+        return impl
+    return "pallas_merged" if jax.default_backend() == "tpu" else "scan"
+
+
 def _umx_forward_pallas(
-    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, dtype, interpret=False
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, dtype,
+    impl: str, interpret=False
 ):
     """Staged forward where each BLSTM layer's recurrence runs as one
     Pallas kernel over ALL targets/directions (ops/lstm_pallas.py); the
@@ -419,7 +431,7 @@ def _umx_forward_pallas(
     from umx_tpu.ops.qmatmul import QTensor, q_einsum_ih
 
     layer_fn = (
-        lstm_layer_pallas_merged if cfg.lstm_impl == "pallas_merged" else lstm_layer_pallas
+        lstm_layer_pallas_merged if impl == "pallas_merged" else lstm_layer_pallas
     )
 
     x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, dtype))(params)  # (T#, T, H)
@@ -481,9 +493,10 @@ def umx_forward(
     """
     dtype = jnp.dtype(compute_dtype)
     x = x.astype(jnp.float32)
-    if cfg.lstm_impl.startswith("pallas"):
+    impl = resolve_lstm_impl(cfg.lstm_impl)
+    if impl.startswith("pallas"):
         return _umx_forward_pallas(
-            params, x, state, cfg, dtype, interpret=cfg.lstm_impl == "pallas_interpret"
+            params, x, state, cfg, dtype, impl, interpret=impl == "pallas_interpret"
         )
     masks, (hT, cT) = jax.vmap(
         lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, dtype)

@@ -169,6 +169,13 @@ def mask_loss(params: UMXParams, batch: dict[str, Array], cfg: ModelConfig) -> A
       target_mag  (B, T#, 2, T, n_bins)
     """
 
+    # the Pallas recurrence kernels define no VJP — training always
+    # differentiates through the lax.scan BLSTM, whatever inference uses
+    if cfg.lstm_impl != "scan":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, lstm_impl="scan")
+
     def one(xb):
         masks, _ = umx_forward(params, xb, init_lstm_state(cfg), cfg)
         return masks
