@@ -28,6 +28,7 @@ Env knobs:
                            throughput configuration)
   UMX_BENCH_QUANTIZED     (default 0; 1 = u8/u16 weights HBM-resident
                            with dequant fused into the gemms)
+  UMX_BENCH_HIDDEN        (default 1024 = UMX-L; 512 = UMX-HQ)
   UMX_TPU_MODEL           (optional path to a real ggml file)
 """
 
@@ -64,11 +65,19 @@ def main() -> int:
     batch = int(os.environ.get("UMX_BENCH_BATCH", "1"))
 
     streaming = os.environ.get("UMX_BENCH_STREAMING", "1") != "0"
+    hidden = int(os.environ.get("UMX_BENCH_HIDDEN", "1024"))
     cfg = EngineConfig(
         segment=SegmentConfig(segment_secs=seg_secs, streaming=streaming),
         use_wiener=use_wiener,
         compute_dtype=dtype,
     )
+    family = "umxl" if hidden >= 1024 else "umxhq"
+    if hidden != cfg.model.hidden_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, hidden_size=hidden)
+        )
 
     quantized = os.environ.get("UMX_BENCH_QUANTIZED", "0") != "0"
     # default = the whole-track fused headline; per-segment/batched modes
@@ -147,7 +156,7 @@ def main() -> int:
         wall = sorted(walls)[1]
         xrt = batch * track_secs / wall
         print(json.dumps({
-            "metric": f"xRT_umxl_whole_track_{int(track_secs)}s_fused_batch{batch}",
+            "metric": f"xRT_{family}_whole_track_{int(track_secs)}s_fused_batch{batch}",
             "value": round(xrt, 2),
             "unit": "audio_sec_per_wall_sec",
             "vs_baseline": round(xrt / 100.0, 4),
@@ -179,7 +188,7 @@ def main() -> int:
             walls.append(time.perf_counter() - t0)
         wall = sorted(walls)[1]
         xrt = track_secs / wall
-        name = f"xRT_umxl_whole_track_{int(track_secs)}s_fused"
+        name = f"xRT_{family}_whole_track_{int(track_secs)}s_fused"
         if not streaming:
             name += "_nostream"
         print(json.dumps({
@@ -247,7 +256,7 @@ def main() -> int:
     wall = sorted(walls)[1]
 
     xrt = batch * reps * seg_secs / wall
-    name = "xRT_umxl_4stem_demix_60s_segment_wiener" if use_wiener else "xRT_umxl_4stem_demix_60s_segment"
+    name = f"xRT_{family}_4stem_demix_60s_segment_wiener" if use_wiener else f"xRT_{family}_4stem_demix_60s_segment"
     if batch > 1:
         name += f"_batch{batch}"
     if quantized:
