@@ -159,6 +159,32 @@ def test_multi_shift_averaging(cfg, audio):
     assert not np.allclose(out1, out2)
 
 
+def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
+    """demix_fused_parallel is no longer the non-streaming default (the
+    sequential scan + merged kernel is faster, PERF.md) but remains a
+    supported alternative — keep it equal to the host loop."""
+    import math
+
+    import jax.numpy as jnp
+
+    from umx_tpu.engine.separator import demix_fused_parallel
+
+    params = synthetic_params(cfg.model, seed=0)
+    c = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
+    )
+    s = Separator(params, c)
+    looped = np.asarray(s.demix(audio, fused=False))
+    seg = c.segment.segment_samples(44100)
+    stride = c.segment.stride_samples(44100)
+    length = audio.shape[1]
+    n = max(1, math.ceil(length / stride))
+    padded = (n - 1) * stride + seg
+    audio_p = jnp.pad(jnp.asarray(audio, jnp.float32), ((0, 0), (0, padded - length)))
+    out = np.asarray(demix_fused_parallel(params, audio_p, c, n, seg, stride))
+    np.testing.assert_allclose(out[..., :length], looped, atol=1e-5)
+
+
 def test_batched_shifts_equal_sequential(cfg, audio):
     """shifts=N auto-batches the N shifted copies through one fused
     program; the result must equal the sequential per-pass host loop."""

@@ -406,15 +406,15 @@ class Separator:
             )
 
         if fused:
-            if not cfg.segment.streaming:
-                # independent segments -> batch them through the LSTM
-                out = demix_fused_parallel(
-                    self.params, audio_p, cfg, n_chunks, seg, stride
-                )
-            else:
-                out, _ = demix_fused(
-                    self.params, audio_p, state, cfg, n_chunks, seg, stride
-                )
+            # One scan program for BOTH modes: the scan body resets the
+            # LSTM carry per chunk when streaming=False.  (The
+            # chunk-batched variant demix_fused_parallel was the
+            # non-streaming default before the merged recurrence kernel;
+            # the kernel made the sequential scan faster — 676 vs 635×,
+            # PERF.md — because batched chunks must ride the scan BLSTM.)
+            out, _ = demix_fused(
+                self.params, audio_p, state, cfg, n_chunks, seg, stride
+            )
             if progress is not None:
                 progress(1.0)
             return out[..., :length]
