@@ -120,7 +120,7 @@ def main() -> int:
         from umx_tpu.engine.separator import _vmap_cfg
         from umx_tpu.models.umx import init_lstm_state as _init_state
 
-        cfg = _vmap_cfg(cfg, batch)  # batched tracks ride the scan BLSTM
+        cfg = _vmap_cfg(cfg, batch)  # batched tracks fold into kernel matmul rows
 
         fit = suggest_max_batch(cfg, track_secs)
         if batch > fit:
@@ -204,7 +204,7 @@ def main() -> int:
     if batch > 1:
         from umx_tpu.engine.separator import _segment_forward_impl, _vmap_cfg
 
-        bcfg = _vmap_cfg(cfg, batch)  # batched segments ride the scan BLSTM
+        bcfg = _vmap_cfg(cfg, batch)  # batched segments fold into kernel matmul rows
         audio = jnp.asarray(rng.uniform(-0.5, 0.5, (batch, 2, n)).astype(np.float32))
         state = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), state)
         fwd = jax.jit(

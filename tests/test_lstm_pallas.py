@@ -132,6 +132,38 @@ def test_blocked_kernel_partial_final_block():
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
 
 
+def test_merged_kernel_batch_native_vmap():
+    """vmap over the merged kernel folds the mapped axis into matmul
+    rows (custom_vmap rule) and must match per-example invocation, for
+    batched, broadcast-state, and nested-vmap shapes."""
+    import jax
+
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas_merged
+
+    rng = np.random.default_rng(26)
+    B, Tn, T, D, G = 3, 2, 7, 2, 8
+    xb = jnp.asarray(rng.standard_normal((B, Tn, T, D, 4 * G)).astype(np.float32) * 0.2)
+    hh_w = jnp.asarray(rng.standard_normal((Tn, D, G, 4 * G)).astype(np.float32) * 0.1)
+    h0 = jnp.asarray(rng.standard_normal((Tn, D, G)).astype(np.float32) * 0.1)
+    c0 = jnp.zeros((Tn, D, G), jnp.float32)
+
+    f = lambda xx: lstm_layer_pallas_merged(xx, hh_w, h0, c0, time_block=4, interpret=True)
+    seq = [f(xb[i]) for i in range(B)]
+
+    # broadcast state (the fleet/batcher shape: weights+state closed over)
+    vm = jax.vmap(f)(xb)
+    for j in range(3):
+        np.testing.assert_allclose(
+            np.asarray(vm[j]), np.stack([np.asarray(s[j]) for s in seq]), atol=1e-5
+        )
+
+    # nested vmap folds into the same row dimension
+    vm2 = jax.vmap(jax.vmap(f))(xb.reshape(1, B, Tn, T, D, 4 * G))
+    np.testing.assert_allclose(
+        np.asarray(vm2[0][0]), np.stack([np.asarray(s[0]) for s in seq]), atol=1e-5
+    )
+
+
 def test_full_forward_pallas_matches_scan(cfg_scan, cfg_pallas, params, x):
     st = init_lstm_state(cfg_scan)
     m_scan, st_scan = umx_forward(params, x, st, cfg_scan, "bfloat16")

@@ -98,7 +98,7 @@ class SegmentBatcher:
         # compiled programs depend on (cfg, n) only — not params identity
         cache_key = (key[0], key[1], batch_size)
         if cache_key not in self._fns:
-            # batched jobs ride the scan BLSTM (see separator._vmap_cfg)
+            # batched jobs fold into kernel matmul rows (lstm_pallas custom_vmap)
             cfg, n = _vmap_cfg(key[0], batch_size), key[1]
 
             def one(p, a, s):

@@ -113,7 +113,7 @@ def demix_tracks(
             batch = [it[4] for it in items]
             while len(batch) % dp:
                 batch.append(np.zeros_like(batch[0]))
-            # batched instances ride the scan BLSTM (see _vmap_cfg)
+            # batched instances fold into kernel matmul rows (lstm_pallas custom_vmap)
             fn = _batched_demix(_vmap_cfg(cfg, len(batch)), n_chunks, seg, stride)
             audio_b = jnp.asarray(np.stack(batch))
             st = init_lstm_state(cfg.model)

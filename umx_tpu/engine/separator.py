@@ -98,17 +98,17 @@ def _segment_forward_impl(
 
 
 def _vmap_cfg(cfg: EngineConfig, batch_size: int) -> EngineConfig:
-    """Config for BATCHED (vmapped) segment/track instances: resolve
-    ``lstm_impl="auto"`` to the scan BLSTM.  Under vmap a Pallas kernel's
-    grid gains a leading batch dimension that executes sequentially,
-    while the scan path gets extra batch rows through shared weights for
-    free (PERF.md: B=4 whole-track 841x scan vs 688x merged kernel;
-    B=1 is the reverse, 670x kernel vs 596x scan).  Explicit non-auto
-    choices pass through untouched."""
-    if batch_size > 1 and cfg.model.lstm_impl == "auto":
-        return dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, lstm_impl="scan")
-        )
+    """Config for BATCHED (vmapped) segment/track instances.
+
+    Historically this downgraded ``lstm_impl="auto"`` to the scan BLSTM
+    because vmap-over-Pallas serializes the kernel grid.  The merged
+    kernel is now batch-native — its custom_vmap rule folds mapped axes
+    into extra MXU matmul rows through the shared per-chain weights
+    (ops/lstm_pallas.py), which keeps kernel-grade recurrence latency at
+    any batch size — so batched instances use the same ``auto``
+    resolution as single ones.  Kept as the single seam where a batched
+    config could diverge again."""
+    del batch_size
     return cfg
 
 
@@ -262,7 +262,7 @@ def _demix_fused_parallel_jit(
     Wiener stage's memory.
     """
     assert not cfg.segment.streaming, "parallel segments require streaming=False"
-    cfg = _vmap_cfg(cfg, chunk_batch)  # batched chunks ride the scan BLSTM
+    cfg = _vmap_cfg(cfg, chunk_batch)  # batch-native BLSTM kernel folds chunk rows
     padded_len = audio_p.shape[-1]
     weight = _transition_weight(seg, cfg.segment.transition_power)
     state = init_lstm_state(cfg.model)
@@ -406,15 +406,21 @@ class Separator:
             )
 
         if fused:
-            # One scan program for BOTH modes: the scan body resets the
-            # LSTM carry per chunk when streaming=False.  (The
-            # chunk-batched variant demix_fused_parallel was the
-            # non-streaming default before the merged recurrence kernel;
-            # the kernel made the sequential scan faster — 676 vs 635×,
-            # PERF.md — because batched chunks must ride the scan BLSTM.)
-            out, _ = demix_fused(
-                self.params, audio_p, state, cfg, n_chunks, seg, stride
-            )
+            if not cfg.segment.streaming:
+                # Non-streaming: segments are independent, so the
+                # chunk-batched program wins again now that the BLSTM
+                # kernel is batch-native (batched chunks fold into kernel
+                # matmul rows): 839× vs 698× sequential scan on a 420 s
+                # track; chunk_batch=4 is the sweet spot (8 regresses to
+                # 700×, PERF.md round-2 close).
+                out = demix_fused_parallel(
+                    self.params, audio_p, cfg, n_chunks, seg, stride,
+                    chunk_batch=min(4, n_chunks),
+                )
+            else:
+                out, _ = demix_fused(
+                    self.params, audio_p, state, cfg, n_chunks, seg, stride
+                )
             if progress is not None:
                 progress(1.0)
             return out[..., :length]

@@ -155,17 +155,21 @@ def lstm_layer_pallas(
     return hs[:, :T], hT, cT
 
 
-def _make_merged_kernel(K: int, last_k: int, R: int):
+def _make_merged_kernel(K: int, last_k: int, R: int, B: int):
     def kernel(xp_ref, hh_w_ref, h0_ref, c0_ref, out_ref, hT_ref, cT_ref, h_s, c_s):
         """One grid step = ``K`` timesteps for ALL (target, direction)
         rows at once.  The R row chains are independent, so their MXU
         matmuls can pipeline back-to-back instead of serializing on the
-        recurrence latency.
+        recurrence latency.  Each chain carries ``B`` batch rows (tracks /
+        segments / requests) through its matmul: extra rows through SHARED
+        weights ride the same MXU pass nearly free (PERF.md control
+        measurement), which is what makes this kernel batch-native instead
+        of serializing under vmap.
 
-        Block shapes:
-          xp_ref: (K, R, 4G)   hh_w_ref: (R, G, 4G)
-          h0/c0:  (R, G)       out_ref: (K, R, G)
-          hT/cT:  (R, G)       scratch h_s/c_s: (R, G) f32
+        Block shapes (RB = R*B, rows grouped chain-major):
+          xp_ref: (K, RB, 4G)  hh_w_ref: (R, G, 4G)
+          h0/c0:  (RB, G)      out_ref: (K, RB, G)
+          hT/cT:  (RB, G)      scratch h_s/c_s: (RB, G) f32
         """
         b = pl.program_id(0)
         n_b = pl.num_programs(0)
@@ -185,7 +189,7 @@ def _make_merged_kernel(K: int, last_k: int, R: int):
             rec = jnp.concatenate(
                 [
                     jax.lax.dot_general(
-                        hb[r : r + 1],
+                        hb[r * B : (r + 1) * B],
                         hh_w_ref[r],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -193,7 +197,7 @@ def _make_merged_kernel(K: int, last_k: int, R: int):
                     for r in range(R)
                 ],
                 axis=0,
-            )  # (R, 4G)
+            )  # (RB, 4G)
             gates = xp_ref[pl.ds(k, 1)][0].astype(jnp.float32) + rec
             i = jax.nn.sigmoid(gates[:, :G])
             f = jax.nn.sigmoid(gates[:, G : 2 * G])
@@ -216,6 +220,164 @@ def _make_merged_kernel(K: int, last_k: int, R: int):
     return kernel
 
 
+def _merged_rows(
+    xp_rows: Array,
+    hh_flat: Array,
+    h0_rows: Array,
+    c0_rows: Array,
+    B: int,
+    time_block: int,
+    interpret: bool,
+):
+    """Raw merged-kernel invocation on chain-major row layout.
+
+    xp_rows: (T, RB, 4G) f32, rows grouped so chain r owns rows
+    [r*B, (r+1)*B).  hh_flat: (R, G, 4G).  h0/c0_rows: (RB, G) f32.
+    Returns (hs (T, RB, G), hT (RB, G), cT (RB, G)).
+    """
+    T, RB, G4 = xp_rows.shape
+    R = RB // B
+    G = G4 // 4
+
+    # Bound the xp block's VMEM footprint (double-buffered): large row
+    # counts shrink the time block instead of blowing scoped VMEM.
+    row_bytes = RB * G4 * 4
+    K = max(1, min(time_block, T, (24 * 1024 * 1024) // max(1, row_bytes)))
+    n_blocks = -(-T // K)
+    T_pad = n_blocks * K
+    last_k = T - (n_blocks - 1) * K
+    if T_pad != T:
+        xp_rows = jnp.pad(xp_rows, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    kernel = pl.pallas_call(
+        _make_merged_kernel(K, last_k, R, B),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((K, RB, G4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, G, G4), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, RB, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, RB, G), jnp.float32),
+            jax.ShapeDtypeStruct((RB, G), jnp.float32),
+            jax.ShapeDtypeStruct((RB, G), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RB, G), jnp.float32),
+            pltpu.VMEM((RB, G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    hs, hT, cT = kernel(xp_rows, hh_flat, h0_rows, c0_rows)
+    return hs[:T], hT, cT
+
+
+def _merged_batched_impl(x_proj, hh_w, h0, c0, time_block, interpret):
+    """Batched merged layer: fold the batch axis into matmul rows.
+
+    x_proj: (B, T#, T, D, 4G), hh_w: (T#, D, G, 4G), h0/c0: (B, T#, D, G).
+    Returns (hs (B, T#, T, D, G), hT (B, T#, D, G), cT (B, T#, D, G)).
+    """
+    Bsz, n_targets, T, D, G4 = x_proj.shape
+    G = G4 // 4
+    R = n_targets * D
+    hh_flat = hh_w.astype(jnp.bfloat16).reshape(R, G, G4)
+    # rows chain-major: row = ((t# * D) + d) * B + b
+    xp_rows = jnp.transpose(x_proj, (2, 1, 3, 0, 4)).reshape(T, R * Bsz, G4)
+    h0_rows = jnp.transpose(h0.astype(jnp.float32), (1, 2, 0, 3)).reshape(R * Bsz, G)
+    c0_rows = jnp.transpose(c0.astype(jnp.float32), (1, 2, 0, 3)).reshape(R * Bsz, G)
+
+    hs, hT, cT = _merged_rows(
+        xp_rows, hh_flat, h0_rows, c0_rows, Bsz, time_block, interpret
+    )
+    hs = jnp.transpose(hs.reshape(T, n_targets, D, Bsz, G), (3, 1, 0, 2, 4))
+    hT = jnp.transpose(hT.reshape(n_targets, D, Bsz, G), (2, 0, 1, 3))
+    cT = jnp.transpose(cT.reshape(n_targets, D, Bsz, G), (2, 0, 1, 3))
+    return hs, hT, cT
+
+
+@functools.lru_cache(maxsize=None)
+def _merged_batched_custom(time_block: int, interpret: bool):
+    """custom_vmap wrapper for the BATCHED merged call: a further vmap
+    level folds its axis into the existing batch dimension (rows through
+    shared weights) instead of serializing the Pallas grid."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def call(x_proj, hh_w, h0, c0):
+        return _merged_batched_impl(x_proj, hh_w, h0, c0, time_block, interpret)
+
+    @call.def_vmap
+    def rule(axis_size, in_batched, x_proj, hh_w, h0, c0):
+        xb, wb, hb, cb_ = in_batched
+
+        def bc(a, isb):
+            return a if isb else jnp.broadcast_to(a[None], (axis_size, *a.shape))
+
+        if wb:
+            # per-instance weights: chains are weight-distinct, nothing to
+            # fold — run instances sequentially (same as default vmap).
+            outs = jax.lax.map(
+                lambda args: call(*args),
+                (bc(x_proj, xb), hh_w, bc(h0, hb), bc(c0, cb_)),
+            )
+            return outs, (True, True, True)
+
+        x_proj = bc(x_proj, xb)
+        h0 = bc(h0, hb)
+        c0 = bc(c0, cb_)
+        B2, B1 = x_proj.shape[0], x_proj.shape[1]
+        fold = lambda a: a.reshape(B2 * B1, *a.shape[2:])
+        hs, hT, cT = call(fold(x_proj), hh_w, fold(h0), fold(c0))
+        unfold = lambda a: a.reshape(B2, B1, *a.shape[1:])
+        return (unfold(hs), unfold(hT), unfold(cT)), (True, True, True)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _merged_custom(time_block: int, interpret: bool):
+    """custom_vmap wrapper for the UNBATCHED merged call (the public
+    entry): vmap folds the mapped axis into matmul batch rows."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def call(x_proj, hh_w, h0, c0):
+        hs, hT, cT = _merged_batched_impl(
+            x_proj[None], hh_w, h0[None], c0[None], time_block, interpret
+        )
+        return hs[0], hT[0], cT[0]
+
+    @call.def_vmap
+    def rule(axis_size, in_batched, x_proj, hh_w, h0, c0):
+        xb, wb, hb, cb_ = in_batched
+
+        def bc(a, isb):
+            return a if isb else jnp.broadcast_to(a[None], (axis_size, *a.shape))
+
+        if wb:
+            outs = jax.lax.map(
+                lambda args: call(*args),
+                (bc(x_proj, xb), hh_w, bc(h0, hb), bc(c0, cb_)),
+            )
+            return outs, (True, True, True)
+
+        batched = _merged_batched_custom(time_block, interpret)
+        outs = batched(bc(x_proj, xb), hh_w, bc(h0, hb), bc(c0, cb_))
+        return outs, (True, True, True)
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("time_block", "interpret"))
 def lstm_layer_pallas_merged(
     x_proj: Array,
@@ -230,51 +392,14 @@ def lstm_layer_pallas_merged(
     8*512*2048*2B = 16.8 MB) so the 8 independent recurrence chains
     pipeline the MXU within each step.
 
+    Batch-native under ``jax.vmap``: a custom_vmap rule folds mapped axes
+    into extra matmul rows through the shared (per-chain) weights, so
+    batched tracks / segments / requests keep kernel-grade recurrence
+    latency instead of serializing the grid (the default vmap-over-Pallas
+    behavior).
+
     Same signature/returns as :func:`lstm_layer_pallas`.
     """
-    n_targets, T, D, G4 = x_proj.shape
-    G = G4 // 4
-    R = n_targets * D
-    hh_flat = hh_w.astype(jnp.bfloat16).reshape(R, G, G4)
-    xp_flat = jnp.transpose(x_proj, (1, 0, 2, 3)).reshape(T, R, G4)
-    h0_flat = h0.astype(jnp.float32).reshape(R, G)
-    c0_flat = c0.astype(jnp.float32).reshape(R, G)
-
-    K = min(time_block, T)
-    n_blocks = -(-T // K)
-    T_pad = n_blocks * K
-    last_k = T - (n_blocks - 1) * K
-    if T_pad != T:
-        xp_flat = jnp.pad(xp_flat, ((0, T_pad - T), (0, 0), (0, 0)))
-
-    kernel = pl.pallas_call(
-        _make_merged_kernel(K, last_k, R),
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((K, R, G4), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, G, G4), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((K, R, G), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, G), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T_pad, R, G), jnp.float32),
-            jax.ShapeDtypeStruct((R, G), jnp.float32),
-            jax.ShapeDtypeStruct((R, G), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((R, G), jnp.float32),
-            pltpu.VMEM((R, G), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
+    return _merged_custom(time_block, interpret)(
+        x_proj, hh_w, h0.astype(jnp.float32), c0.astype(jnp.float32)
     )
-    hs, hT, cT = kernel(xp_flat, hh_flat, h0_flat, c0_flat)
-    hs = jnp.transpose(hs[:T].reshape(T, n_targets, D, G), (1, 0, 2, 3))
-    return hs, hT.reshape(n_targets, D, G), cT.reshape(n_targets, D, G)
