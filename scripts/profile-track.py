@@ -47,7 +47,8 @@ def main() -> int:
     sr = dcfg.sample_rate
     seg = cfg.segment.segment_samples(sr)
     stride = cfg.segment.stride_samples(sr)
-    K = 4
+    import os
+    K = int(os.environ.get("UMX_PROFILE_CHUNKS", "4"))
     padded = (K - 1) * stride + seg
     rng = np.random.default_rng(0)
     audio_p = jnp.asarray(rng.uniform(-0.5, 0.5, (2, padded)).astype(np.float32))

@@ -169,6 +169,13 @@ class EngineConfig:
     # Compute dtype for the network matmuls. float32 preserves SDR parity;
     # bfloat16 doubles MXU throughput (validate SDR before enabling).
     compute_dtype: str = "float32"
+    # Overlap-add implementation for fused-track programs.  "auto" =
+    # "unroll" (statically unrolled slice-adds — fastest measured, valid
+    # for any overlap).  "xla" = pad+sum grids; "pallas" / "xla_dus" =
+    # measured A/B variants (ops/ola_pallas.py, slower: the 44.1 kHz row
+    # misalignment taxes layout-changing approaches — PERF.md);
+    # "pallas_interpret" runs the kernel in interpreter mode (tests).
+    ola_impl: str = "auto"
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -174,11 +174,48 @@ def _demix_fused_impl(
     final_state, ys = jax.lax.scan(body, state, jnp.arange(n_chunks))
     # ys: (n_chunks, T#, 2, seg)
 
-    out = _overlap_add_chunks(ys, stride, padded_len)
+    return _normalized_overlap_add(ys, weight, stride, padded_len, cfg), final_state
+
+
+def _normalized_overlap_add(
+    ys: Array, weight: Array, stride: int, padded_len: int, cfg: EngineConfig
+) -> Array:
+    """Weighted-chunk overlap-add + weight-sum normalization.
+
+    On accelerator backends this runs as ONE Pallas streaming pass
+    (ops/ola_pallas.py) — the XLA expression of the same math costs a
+    combine pass, a chunk-major→time-major transpose copy with bad TPU
+    tiling, and a divide pass (~7× off the HBM roofline, PERF.md).
+    """
+    n_chunks, *mid, seg = ys.shape
     sw = _overlap_add_chunks(
         jnp.broadcast_to(weight, (n_chunks, seg)), stride, padded_len
     )
-    return out / sw, final_state
+    choice = "unroll" if cfg.ola_impl == "auto" else cfg.ola_impl
+    if choice in ("pallas", "pallas_interpret", "xla_dus"):
+        # kept as measured A/B variants (PERF.md: pallas DMA 52 ms,
+        # xla_dus 69 ms at 420 s scale — the 44.1 kHz row misalignment
+        # taxes every layout-changing approach)
+        from umx_tpu.ops.ola_pallas import overlap_add_normalized
+
+        out = overlap_add_normalized(
+            ys, 1.0 / sw, stride, padded_len,
+            impl="xla_dus" if choice == "xla_dus" else "pallas",
+            interpret=choice == "pallas_interpret",
+        )
+        if out is not None:
+            return out
+        choice = "unroll"
+    if choice == "unroll":
+        # statically unrolled slice-adds: no transpose, no scatter, and —
+        # unlike hop-strided .at[].add patterns — no XLA conv-rewrite.
+        # Fastest measured (24 ms vs 42 pad+sum at 420 s, PERF.md) and
+        # valid for ANY overlap geometry.
+        out = jnp.zeros((*mid, padded_len), ys.dtype)
+        for k in range(n_chunks):
+            out = out.at[..., k * stride : k * stride + seg].add(ys[k])
+        return out / sw
+    return _overlap_add_chunks(ys, stride, padded_len) / sw
 
 
 def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
@@ -284,11 +321,7 @@ def _demix_fused_parallel_jit(
         ys.append(outs[: min(chunk_batch, keep)])
     ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
 
-    out = _overlap_add_chunks(ys, stride, padded_len)
-    sw = _overlap_add_chunks(
-        jnp.broadcast_to(weight, (n_chunks, seg)), stride, padded_len
-    )
-    return out / sw
+    return _normalized_overlap_add(ys, weight, stride, padded_len, cfg)
 
 
 def demix_fused_parallel(
