@@ -201,6 +201,8 @@ def main() -> int:
         name = f"xRT_{family}_whole_track_{int(track_secs)}s_fused"
         if not streaming:
             name += "_nostream"
+        if quantized:
+            name += "_qhbm"
         print(json.dumps({
             "metric": name,
             "value": round(xrt, 2),
