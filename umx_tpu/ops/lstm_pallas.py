@@ -180,7 +180,6 @@ def _make_merged_kernel(K: int, last_k: int, R: int, B: int):
             c_s[:] = c0_ref[:]
 
         G = h_s.shape[1]
-        steps = jnp.where(b == n_b - 1, last_k, K)
 
         def body(k, _):
             h = h_s[:]
@@ -210,7 +209,23 @@ def _make_merged_kernel(K: int, last_k: int, R: int, B: int):
             out_ref[pl.ds(k, 1)] = h[None]
             return 0
 
-        jax.lax.fori_loop(0, steps, body, 0)
+        # Full blocks run STATICALLY UNROLLED: static slice indices and no
+        # loop-carried overhead buy ~8% step time (scripts/lstm_kernel_probe
+        # unrollK variant).  Only the possibly-partial last block pays the
+        # dynamic fori_loop; when T divides evenly everything unrolls.
+        if last_k == K:
+            for k in range(K):
+                body(k, 0)
+        else:
+
+            @pl.when(b < n_b - 1)
+            def _():
+                for k in range(K):
+                    body(k, 0)
+
+            @pl.when(b == n_b - 1)
+            def _():
+                jax.lax.fori_loop(0, last_k, body, 0)
 
         @pl.when(b == n_b - 1)
         def _():
