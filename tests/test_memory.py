@@ -1,12 +1,19 @@
 """HBM capacity-planner tests (engine/memory.py), calibrated against the
 measured v5e facts: B=4 x 420 s fused whole-track fits, B=8 x 420 s
-RESOURCE_EXHAUSTs."""
+RESOURCE_EXHAUSTs; B=16 x 60 s per-segment batch fits, B=32 OOMs with an
+allocator request of 21.0 GiB (PERF.md batch-curve endpoints)."""
 
-from umx_tpu.config import EngineConfig, SegmentConfig
+import jax.numpy as jnp
+
+from umx_tpu.config import UMXHQ, EngineConfig, ModelConfig, SegmentConfig
 from umx_tpu.engine.memory import (
     V5E_HBM_BYTES,
+    device_hbm_bytes,
     fused_track_hbm_bytes,
+    params_hbm_bytes,
+    segment_batch_hbm_bytes,
     suggest_max_batch,
+    suggest_max_segment_batch,
 )
 
 
@@ -28,13 +35,58 @@ def test_calibration_matches_measured_v5e_facts():
     assert fused_track_hbm_bytes(cfg, 8, 420.0)["total"] > V5E_HBM_BYTES
 
 
+def test_segment_batch_calibration():
+    """The per-segment batch curve's measured endpoints: 16 fits, 32 does
+    not (allocator asked 21.0 GiB of 15.75)."""
+    cfg = _cfg()
+    assert segment_batch_hbm_bytes(cfg, 16)["total"] <= int(0.9 * V5E_HBM_BYTES)
+    b32 = segment_batch_hbm_bytes(cfg, 32)["total"]
+    assert b32 > V5E_HBM_BYTES
+    # and the estimate should be near the allocator's actual 21.0 GiB ask
+    assert abs(b32 / 2**30 - 21.0) < 3.0
+
+
 def test_suggest_max_batch():
     cfg = _cfg()
-    b = suggest_max_batch(cfg, 420.0)
+    b = suggest_max_batch(cfg, 420.0, hbm_bytes=V5E_HBM_BYTES)
     assert b == 4
-    assert suggest_max_batch(cfg, 60.0) > b  # shorter tracks batch wider
+    assert suggest_max_batch(cfg, 60.0, hbm_bytes=V5E_HBM_BYTES) > b
     # even an over-budget single track still returns 1
-    assert suggest_max_batch(cfg, 10_000.0) == 1
+    assert suggest_max_batch(cfg, 10_000.0, hbm_bytes=V5E_HBM_BYTES) == 1
+
+
+def test_suggest_max_segment_batch():
+    b = suggest_max_segment_batch(_cfg(), hbm_bytes=V5E_HBM_BYTES)
+    assert 16 <= b < 32  # inside the measured (fits, OOMs) bracket
+    # quantized weights free ~360 MB — never a smaller suggestion
+    q = suggest_max_segment_batch(_cfg(), hbm_bytes=V5E_HBM_BYTES, quantized=True)
+    assert q >= b
+
+
+def test_params_bytes_derived_from_config():
+    """Config-derived param bytes must track the measured UMX-L resident
+    set (~530 MB) and scale down for UMX-HQ and quantized-HBM modes."""
+    full = params_hbm_bytes(_cfg())
+    assert abs(full - 530e6) < 30e6
+    assert params_hbm_bytes(UMXHQ) < full / 2
+    assert params_hbm_bytes(_cfg(), quantized=True) < full / 2
+    # exact mode: measured from an actual pytree
+    tree = {"w": jnp.zeros((1000, 1000), jnp.float32)}
+    measured = params_hbm_bytes(_cfg(), params=tree)
+    assert 4e6 <= measured <= 5e6
+
+
+def test_params_bytes_scale_with_hidden_size():
+    small = params_hbm_bytes(EngineConfig(model=ModelConfig(hidden_size=256)))
+    big = params_hbm_bytes(EngineConfig(model=ModelConfig(hidden_size=2048)))
+    assert small < big
+
+
+def test_device_hbm_query_falls_back():
+    # on CPU backends memory_stats is absent/tiny — must return the default
+    assert device_hbm_bytes(default=123 * 2**30) in (123 * 2**30,) or (
+        device_hbm_bytes() > 2**30
+    )
 
 
 def test_terms_present_and_positive():

@@ -1,14 +1,16 @@
-"""HBM capacity planning for batched whole-track fused demixing.
+"""HBM capacity planning for batched demixing programs.
 
-The batched fused-track program (engine/fleet.py's bucket call) is the
-single-chip throughput shape, but its footprint grows with
-batch x track-length and a v5e chip has 15.75 GB of usable HBM: B=8 x
-420 s was measured to RESOURCE_EXHAUST while B=4 fits comfortably.
-This module gives a first-principles liveness estimate of the program's
-peak HBM so callers (fleet bucketing, serving admission, bench configs)
-can pick a feasible batch instead of discovering OOM at compile time.
+The batched fused-track program (engine/fleet.py's bucket call) and the
+batched per-segment program (serving batcher / segment pipelines) are
+the single-chip throughput shapes, but their footprints grow with
+batch x track-length and a v5e chip has ~15.75 GB of usable HBM:
+B=8 x 420 s fused tracks and B=32 x 60 s segments were both measured to
+RESOURCE_EXHAUST while B=4 / B=16 fit.  This module gives a
+first-principles liveness estimate of peak HBM so callers (fleet
+bucketing, serving admission, bench configs) can pick a feasible batch
+instead of discovering OOM at compile time.
 
-The estimate models the two high-water phases of the program:
+The fused-track estimate models the two high-water phases:
 
 * scan phase — the stacked weighted chunk outputs accumulate while a
   segment's transients (Wiener y planes, spectrogram planes, masks) are
@@ -17,9 +19,13 @@ The estimate models the two high-water phases of the program:
   its time-interleaved reshape, and the final stems are simultaneously
   live.
 
-and applies an empirical layout factor for TPU tiling padding
-(measured 1.3x on the dominant (…, stride) tensors) — deliberately
-coarse (+-25%); keep a safety margin.
+Parameter bytes are DERIVED from the model config (dtype- and
+quantization-aware, validated against the measured 530 MB UMX-L
+resident set) — or measured exactly from a params pytree when given.
+Device capacity is read from ``memory_stats()`` when the backend
+exposes it, falling back to the v5e constant.  Estimates carry an
+empirical layout factor for TPU tiling padding and are deliberately
+coarse (~±25%); keep a safety margin.
 """
 
 from __future__ import annotations
@@ -30,10 +36,92 @@ from umx_tpu.config import EngineConfig
 
 V5E_HBM_BYTES = int(15.75 * 2**30)  # usable HBM per chip (16G - reserved)
 _LAYOUT_FACTOR = 1.25  # measured tiling-padding expansion on (…, stride)
+# Engine-resident overhead over raw f32 leaf bytes (bf16 kernel weight
+# copies, dequant scale tables, allocator rounding): 530 MB measured for
+# UMX-L whose raw leaves sum to ~452 MB.
+_PARAMS_OVERHEAD = 1.17
+
+
+def device_hbm_bytes(default: int = V5E_HBM_BYTES) -> int:
+    """Usable HBM of the local accelerator, queried from the runtime
+    when the backend exposes ``memory_stats()['bytes_limit']`` (ADVICE
+    r2: don't hardcode v5e capacity on other devices)."""
+    try:
+        import jax
+
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        limit = (stats or {}).get("bytes_limit")
+        if limit and limit > 2**30:  # ignore CPU/mock backends' tiny/absent limits
+            return int(limit)
+    except Exception:  # noqa: BLE001 — planning must never fail on a query
+        pass
+    return default
+
+
+def params_hbm_bytes(
+    cfg: EngineConfig, quantized: bool = False, params=None
+) -> int:
+    """HBM bytes of the resident weight tree.
+
+    With ``params`` given: exact sum over the pytree's leaves.  Otherwise
+    derived from the ModelConfig shape arithmetic (model.cpp:140-186
+    layout): per target fc1 (nf,H), 3 bidir LSTM layers ih (H,4G) +
+    hh (G,4G) + biases, fc2 (2H,H), fc3 (H,no), 4 batchnorm vectors per
+    bn, input/output mean+scale.  ``quantized`` models the
+    quantized-HBM mode (u8 weights, u16 for fc2/fc3 — ops/qmatmul.py).
+    """
+    if params is not None:
+        import jax
+
+        return int(
+            sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree.leaves(params)
+                if hasattr(x, "size")
+            )
+            * _PARAMS_OVERHEAD
+        )
+    m = cfg.model
+    h, g, s = m.hidden_size, m.lstm_hidden, m.n_targets
+    nf, no = m.n_features, m.n_outputs
+    mat_u8 = nf * h + 6 * (h * 4 * g + g * 4 * g)  # fc1 + 3x2 LSTM ih/hh
+    mat_u16 = 2 * h * h + h * no  # fc2 + fc3
+    vec = (
+        4 * h + 4 * h + 4 * no  # bn1, bn2, bn3 (w, b, mean, var)
+        + 2 * nf + 2 * no       # input/output mean+scale
+        + 6 * 2 * 4 * g         # LSTM b_ih + b_hh per direction-layer
+    )
+    if quantized:
+        per_target = 1 * mat_u8 + 2 * mat_u16 + 4 * vec
+    else:
+        per_target = 4 * (mat_u8 + mat_u16 + vec)
+    return int(s * per_target * _PARAMS_OVERHEAD)
+
+
+def _segment_transient_bytes(cfg: EngineConfig) -> int:
+    """Bytes of one segment's in-flight pipeline tensors (per batch row):
+    Wiener y planes + masks + mix spectrogram planes + a partial-liveness
+    share of the framed iDFT output (XLA reuses the rest).  Calibrated
+    against the measured per-segment batch curve endpoint: B=32 x 60 s
+    estimated 21.0 GB by the allocator (PERF.md) => ~0.65 GB/row."""
+    s = cfg.model.n_targets
+    t = cfg.dsp.n_frames(cfg.segment.segment_samples(cfg.dsp.sample_rate))
+    f = cfg.dsp.n_bins
+    f4 = 4
+    y_planes = 2 * s * 2 * t * f * f4
+    mix_planes = 2 * 2 * t * f * f4
+    masks = s * t * 2 * f * f4
+    frames_share = (s * 2 * t * cfg.dsp.n_fft * f4) // 4
+    return y_planes + mix_planes + masks + frames_share
 
 
 def fused_track_hbm_bytes(
-    cfg: EngineConfig, batch: int, track_secs: float
+    cfg: EngineConfig,
+    batch: int,
+    track_secs: float,
+    quantized: bool = False,
+    params=None,
 ) -> dict[str, int]:
     """Estimated peak HBM of the batched fused-track program.
 
@@ -45,54 +133,108 @@ def fused_track_hbm_bytes(
     length = int(track_secs * sr)
     n_chunks = max(1, math.ceil(length / stride))
     padded = (n_chunks - 1) * stride + seg
-    S = cfg.model.n_targets
-    T = cfg.dsp.n_frames(seg)
-    F = cfg.dsp.n_bins
-    B = batch
+    s = cfg.model.n_targets
+    b = batch
     f4 = 4  # float32
 
-    ys = B * S * 2 * n_chunks * seg * f4  # scan-stacked weighted chunks
-    ola = 2 * B * S * 2 * n_chunks * stride * f4  # combined + interleaved
-    stems = B * S * 2 * padded * f4  # normalized output
-    audio = B * 2 * padded * f4
-    # per-segment transients live during one scan iteration
-    seg_transients = B * (
-        2 * S * 2 * T * F * f4  # Wiener y planes (re, im)
-        + 2 * 2 * T * F * f4  # mix spectrogram planes
-        + S * T * 2 * F * f4  # masks
-        + 2 * T * 4096 * f4  # framed iDFT output
-    )
-    params = 530_000_000 if cfg.model.hidden_size >= 1024 else 140_000_000
+    ys = b * s * 2 * n_chunks * seg * f4  # scan-stacked weighted chunks
+    ola = 2 * b * s * 2 * n_chunks * stride * f4  # combined + interleaved
+    stems = b * s * 2 * padded * f4  # normalized output
+    audio = b * 2 * padded * f4
+    seg_transients = b * _segment_transient_bytes(cfg)
+    params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
 
     scan_phase = ys + audio + seg_transients
     ola_phase = ys + ola + stems
     peak = max(scan_phase, ola_phase)
-    total = int(peak * _LAYOUT_FACTOR) + params
+    total = int(peak * _LAYOUT_FACTOR) + params_b
     return {
         "ys": ys,
         "ola": ola,
         "stems": stems,
         "audio": audio,
         "seg_transients": seg_transients,
-        "params": params,
+        "params": params_b,
         "scan_phase": scan_phase,
         "ola_phase": ola_phase,
         "total": total,
     }
 
 
+def segment_batch_hbm_bytes(
+    cfg: EngineConfig, batch: int, quantized: bool = False, params=None
+) -> dict[str, int]:
+    """Estimated peak HBM of a B-wide vmapped per-segment program (the
+    serving batcher / per-segment pipeline shape).
+
+    Per-row liveness = Wiener y planes + masks + mix planes + audio/stem
+    I/O, with NO tiling layout factor ((T, F) tensors tile cleanly and
+    XLA reuses the framed-iDFT buffers) — calibrated against the
+    allocator's measured 21.0 GiB request at B=32 x 60 s UMX-L
+    (~0.64 GiB/row, PERF.md batch-curve endpoint)."""
+    sr = cfg.dsp.sample_rate
+    seg = cfg.segment.segment_samples(sr)
+    s = cfg.model.n_targets
+    t = cfg.dsp.n_frames(seg)
+    f = cfg.dsp.n_bins
+    f4 = 4
+    y_planes = 2 * s * 2 * t * f * f4
+    mix_planes = 2 * 2 * t * f * f4
+    masks = s * t * 2 * f * f4
+    transients = batch * (y_planes + mix_planes + masks)
+    io = batch * (2 + s * 2) * seg * f4  # audio in + waves out
+    params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
+    total = transients + io + params_b
+    return {
+        "transients": transients,
+        "io": io,
+        "params": params_b,
+        "total": total,
+    }
+
+
+def _suggest(estimate, budget: float, hard_cap: int = 1024) -> int:
+    b = 1
+    while b < hard_cap and estimate(b + 1) <= budget:
+        b += 1
+    return b
+
+
 def suggest_max_batch(
     cfg: EngineConfig,
     track_secs: float,
-    hbm_bytes: int = V5E_HBM_BYTES,
+    hbm_bytes: int | None = None,
     safety: float = 0.9,
+    quantized: bool = False,
+    params=None,
 ) -> int:
     """Largest batch of ``track_secs`` tracks whose estimated fused-track
     footprint fits in ``safety * hbm_bytes``.  Always >= 1 (a single
     track is the baseline configuration; if even that estimate exceeds
     the budget the caller should shorten segments instead)."""
-    budget = hbm_bytes * safety
-    b = 1
-    while fused_track_hbm_bytes(cfg, b + 1, track_secs)["total"] <= budget:
-        b += 1
-    return b
+    budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
+    return _suggest(
+        lambda b: fused_track_hbm_bytes(
+            cfg, b, track_secs, quantized=quantized, params=params
+        )["total"],
+        budget,
+    )
+
+
+def suggest_max_segment_batch(
+    cfg: EngineConfig,
+    hbm_bytes: int | None = None,
+    safety: float = 0.9,
+    quantized: bool = False,
+    params=None,
+) -> int:
+    """Largest per-segment batch (serving batcher width) whose estimated
+    footprint fits — calibrated so UMX-L 60 s segments admit B=16 and
+    reject B=32 on a v5e (the measured curve endpoints, PERF.md)."""
+    budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
+    return _suggest(
+        lambda b: segment_batch_hbm_bytes(
+            cfg, b, quantized=quantized, params=params
+        )["total"],
+        budget,
+    )

@@ -67,8 +67,20 @@ class DemixService:
         self._dataclasses = dataclasses
         # Concurrent requests' segments coalesce into one device batch —
         # no lock on the hot path (the batcher's single worker thread IS
-        # the device executor); VERDICT r1 #8.
-        self.batcher = SegmentBatcher(max_batch=max_batch, max_wait_ms=batch_wait_ms)
+        # the device executor); VERDICT r1 #8.  The requested width is
+        # capped by the HBM planner so admission can never compile a
+        # batch that RESOURCE_EXHAUSTs (engine/memory.py, calibrated to
+        # the measured per-segment batch curve).
+        from umx_tpu.engine.memory import suggest_max_segment_batch
+
+        fit = suggest_max_segment_batch(
+            self.separator.cfg,
+            quantized=quantized_hbm,
+            params=self.separator.params,
+        )
+        self.batcher = SegmentBatcher(
+            max_batch=min(max_batch, fit), max_wait_ms=batch_wait_ms
+        )
         self._counter_lock = threading.Lock()
         self.model_path = model_path
         self.requests_served = 0
