@@ -20,7 +20,7 @@ Env knobs:
   UMX_BENCH_SEGMENT_SECS  (default 60)
   UMX_BENCH_REPS          (default 5 timed segments, per-segment mode)
   UMX_BENCH_WIENER        (default 1)
-  UMX_BENCH_DTYPE         (default float32; bfloat16 for the fast path)
+  UMX_BENCH_PRECISION     (default | high | highest matmul precision)
   UMX_BENCH_BATCH         (default 1; >1 with TRACK_SECS=0 = B tracks'
                            segments batched; >1 with TRACK_SECS>0 = B
                            WHOLE TRACKS batched through the fused-track
@@ -61,7 +61,7 @@ def main() -> int:
     seg_secs = float(os.environ.get("UMX_BENCH_SEGMENT_SECS", "60"))
     reps = int(os.environ.get("UMX_BENCH_REPS", "5"))
     use_wiener = os.environ.get("UMX_BENCH_WIENER", "1") != "0"
-    dtype = os.environ.get("UMX_BENCH_DTYPE", "float32")
+    precision = os.environ.get("UMX_BENCH_PRECISION", "default")
     batch = int(os.environ.get("UMX_BENCH_BATCH", "1"))
 
     streaming = os.environ.get("UMX_BENCH_STREAMING", "1") != "0"
@@ -69,7 +69,7 @@ def main() -> int:
     cfg = EngineConfig(
         segment=SegmentConfig(segment_secs=seg_secs, streaming=streaming),
         use_wiener=use_wiener,
-        compute_dtype=dtype,
+        matmul_precision=precision,
         ola_impl=os.environ.get("UMX_BENCH_OLA", "auto"),
     )
     family = "umxl" if hidden >= 1024 else "umxhq"
@@ -233,7 +233,7 @@ def main() -> int:
 
     print(
         f"# bench: backend={jax.default_backend()} device={jax.devices()[0]} "
-        f"segment={seg_secs}s wiener={use_wiener} dtype={dtype} batch={batch}",
+        f"segment={seg_secs}s wiener={use_wiener} precision={precision} batch={batch}",
         file=sys.stderr,
     )
 

@@ -87,7 +87,7 @@ def main() -> int:
         return sorted(walls)[1] / R_INNER
 
     def net(p, xx, st):
-        masks, _ = umx_forward(p, xx, st, mcfg, cfg.compute_dtype)
+        masks, _ = umx_forward(p, xx, st, mcfg, cfg.matmul_precision)
         return masks
 
     def stftmag(a):
@@ -99,14 +99,14 @@ def main() -> int:
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, _ = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, _ = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return masks, re, im
 
     def comp_nolive(p, a, st):
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, _ = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, _ = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return masks
 
     def comp_barrier(p, a, st):
@@ -114,7 +114,7 @@ def main() -> int:
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
         x = jax.lax.optimization_barrier(x)
-        masks, _ = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, _ = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return masks, re, im
 
     t_net = timeit(net, params, x_pre, state) * 1000

@@ -84,28 +84,28 @@ def main() -> int:
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, new_state = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return masks
 
     def p_masks(p, a, st):
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, new_state = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return apply_masks(masks, mag, mcfg.n_bins)
 
     def p_wiener(p, a, st):
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, new_state = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return wiener_filter_masks(re, im, masks, mcfg.n_bins, cfg.wiener)
 
     def p_full(p, a, st):
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, new_state = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, new_state = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         tre, tim = wiener_filter_masks(re, im, masks, mcfg.n_bins, cfg.wiener)
         return stft_ops.istft_planes(tre, tim, n, dcfg)
 

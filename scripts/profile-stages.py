@@ -54,7 +54,7 @@ def main() -> int:
     f_net_impl = jax.jit(
         lambda p, mag, st: umx_forward(
             p, crop_stack(mag, cfg.model.nb_bins_cropped), st, cfg.model,
-            cfg.compute_dtype,
+            cfg.matmul_precision,
         )
     )
     f_net = lambda mag, st: f_net_impl(params, mag, st)  # noqa: E731

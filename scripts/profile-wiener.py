@@ -72,7 +72,7 @@ def main() -> int:
         re, im = stft_ops.stft_planes(a, dcfg)
         mag = jnp.sqrt(re * re + im * im)
         x = crop_stack(mag, mcfg.nb_bins_cropped)
-        masks, _ = umx_forward(p, x, st, mcfg, cfg.compute_dtype)
+        masks, _ = umx_forward(p, x, st, mcfg, cfg.matmul_precision)
         return re, im, masks
 
     def base(p, a, st):

@@ -14,8 +14,11 @@ from umx_tpu.models.umx import (
     _bilstm_layer,
     _post_lstm,
     _pre_lstm,
+    init_lstm_state,
     params_from_ggml,
+    resolve_compute,
     synthetic_state_dicts,
+    umx_forward,
 )
 
 torch_oracle = pytest.importorskip("torch_oracle")
@@ -39,7 +42,7 @@ def params(cfg, state_dicts):
 def jax_intermediates(tp, x, cfg):
     """Per-stage activations from the JAX forward, one target."""
     out = {}
-    dtype = jnp.float32
+    dtype = resolve_compute("float32")
     if cfg.input_scaling == "openunmix":
         scaled = (x + tp.input_mean) * tp.input_scale
     else:
@@ -86,4 +89,33 @@ def test_every_stage_matches_torch(cfg, state_dicts, params, target):
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(
             a, b, atol=3e-4 * scale, rtol=0, err_msg=f"stage {stage} diverged"
+        )
+
+
+def test_streaming_boundary_matches_torch(cfg, state_dicts, params):
+    """Two sequential segments with the LSTM carry flowing across the
+    boundary must agree with nn.LSTM given the previous segment's (h, c)
+    — cross-validating the streaming-state CONVENTION (layer/direction
+    ordering, backward-direction carry semantics) against torch, not
+    just our own round trip.  Reference semantics: lstm.cpp:82 /
+    umx.cpp:167-171 (state never reset between segments)."""
+    rng = np.random.default_rng(33)
+    xs = [
+        (np.abs(rng.standard_normal((24, cfg.n_features))) * 0.3).astype(np.float32)
+        for _ in range(2)
+    ]
+
+    theirs = torch_oracle.oracle_masks_stream(state_dicts, xs, cfg.hidden_size)
+
+    state = init_lstm_state(cfg)
+    ours = []
+    for x in xs:
+        masks, state = umx_forward(params, jnp.asarray(x), state, cfg, "float32")
+        ours.append(np.asarray(masks))
+
+    for seg in range(2):
+        scale = np.abs(theirs[seg]).max() + 1e-6
+        np.testing.assert_allclose(
+            ours[seg], theirs[seg], atol=3e-4 * scale, rtol=0,
+            err_msg=f"segment {seg} diverged (state-carry convention mismatch)",
         )

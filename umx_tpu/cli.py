@@ -33,10 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-secs", type=float, default=60.0, help="segment length (s)")
     p.add_argument("--overlap", type=float, default=0.25, help="segment overlap fraction")
     p.add_argument(
-        "--compute-dtype",
-        choices=("float32", "bfloat16"),
-        default="float32",
-        help="network matmul precision (bfloat16 is faster; validate SDR)",
+        "--matmul-precision",
+        choices=("default", "high", "highest"),
+        default="default",
+        help="network matmul precision: default = single-pass bf16 (the "
+        "TPU fast path; oracle deviation 46 dB below signal, PARITY.md), "
+        "high/highest = 3/6-pass fp32-class emulation at 3x/6x matmul cost",
     )
     p.add_argument(
         "--input-scaling",
@@ -107,7 +109,7 @@ def _main(argv=None) -> int:
         wiener=WienerConfig(iterations=args.wiener_iters, psd=args.wiener_psd),
         use_wiener=not args.no_wiener,
         shifts=args.shifts,
-        compute_dtype=args.compute_dtype,
+        matmul_precision=args.matmul_precision,
     )
 
     from umx_tpu.utils.profiling import StageTimer

@@ -78,7 +78,7 @@ def _segment_forward_impl(
     mag = jnp.sqrt(re * re + im * im)
 
     x = crop_stack(mag, mcfg.nb_bins_cropped)
-    masks, new_state = umx_forward(params, x, state, mcfg, cfg.compute_dtype)
+    masks, new_state = umx_forward(params, x, state, mcfg, cfg.matmul_precision)
 
     if cfg.use_wiener:
         # masks go straight into the filter in network layout — the
@@ -307,18 +307,22 @@ def _demix_fused_parallel_jit(
     n_groups = -(-n_chunks // chunk_batch)
     ys = []
     for g in range(n_groups):
-        idx = [min(g * chunk_batch + b, n_chunks - 1) for b in range(chunk_batch)]
+        k0 = g * chunk_batch
+        # the remainder group runs at its NATURAL width — all groups
+        # unroll into this one jitted program, so a narrower final vmap
+        # costs no extra compile and no duplicated segment compute (the
+        # old form re-ran the final chunk up to chunk_batch-1 extra times)
+        width = min(chunk_batch, n_chunks - k0)
         chunks = jnp.stack(
             [
                 jax.lax.dynamic_slice(audio_p, (0, k * stride), (2, seg))
-                for k in idx
+                for k in range(k0, k0 + width)
             ]
         )
         outs, _ = jax.vmap(
             lambda a: _segment_forward_impl(params, a, state, cfg, seg)
         )(chunks)
-        keep = n_chunks - g * chunk_batch
-        ys.append(outs[: min(chunk_batch, keep)])
+        ys.append(outs)
     ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
 
     return _normalized_overlap_add(ys, weight, stride, padded_len, cfg)

@@ -286,24 +286,54 @@ def _batchnorm(x: Array, w: Array, b: Array, rm: Array, rv: Array, eps: float) -
     return (x - rm) * inv * w + b
 
 
-def _mm(x: Array, w, dtype) -> Array:
-    """Matmul over the last/first axes with the MXU input dtype ``dtype``
-    (bfloat16 for the fast path) and float32 accumulation.  Accepts
+# compute spec: name -> (matmul input dtype, XLA matmul precision).
+# On TPU the DEFAULT precision is a single-pass bf16 matmul regardless of
+# f32 inputs, so "float32" and "bfloat16" compile to the SAME program
+# there (PARITY.md footnote 1) — both map to DEFAULT and are kept for
+# portability/tests.  The knobs that actually change the TPU program are
+# "high" (3-pass bf16 ~ fp32) and "highest" (6-pass), traded against
+# 3x/6x MXU time on the matmul stages.
+_COMPUTE_SPECS = {
+    "default": ("float32", jax.lax.Precision.DEFAULT),
+    "float32": ("float32", jax.lax.Precision.DEFAULT),
+    "bfloat16": ("bfloat16", jax.lax.Precision.DEFAULT),
+    "high": ("float32", jax.lax.Precision.HIGH),
+    "highest": ("float32", jax.lax.Precision.HIGHEST),
+}
+
+
+def resolve_compute(name) -> tuple[jnp.dtype, jax.lax.Precision]:
+    """Resolve a compute spec: a name from ``_COMPUTE_SPECS``, a raw
+    dtype (legacy direct-call convention → DEFAULT precision), or an
+    already-resolved (dtype, precision) tuple (idempotent)."""
+    if isinstance(name, tuple):
+        return name
+    if name in _COMPUTE_SPECS or isinstance(name, str):
+        dtype, prec = _COMPUTE_SPECS[str(name)]
+        return jnp.dtype(dtype), prec
+    return jnp.dtype(name), jax.lax.Precision.DEFAULT
+
+
+def _mm(x: Array, w, compute) -> Array:
+    """Matmul over the last/first axes with the resolved compute spec
+    ``(input dtype, precision)`` and float32 accumulation.  Accepts
     either a dense Array or an HBM-resident quantized QTensor (dequant
     fused algebraically, ops/qmatmul.py)."""
     from umx_tpu.ops.qmatmul import QTensor, q_mm
 
     if isinstance(w, QTensor):
         return q_mm(x, w)
+    dtype, prec = compute
     return jax.lax.dot_general(
         x.astype(dtype),
         w.astype(dtype),
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        precision=prec,
         preferred_element_type=jnp.float32,
     )
 
 
-def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
+def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, compute):
     """One bidirectional LSTM layer over a full sequence.
 
     x: (T, in); per-direction weights ih_w (D, in, 4G), hh_w (D, G, 4G),
@@ -317,11 +347,12 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
     """
     from umx_tpu.ops.qmatmul import QTensor, q_einsum_hh, q_einsum_ih
 
+    dtype, prec = resolve_compute(compute)
     xs = jnp.stack([x, x[::-1]])  # (D, T, in)
     # Input projection hoisted out of the recurrence: one big MXU gemm.
-    # Matmul inputs run in `dtype` (bfloat16 fast path) with float32
-    # accumulation; gate math and the c/h state stay float32 so error
-    # cannot compound across the thousands of scan steps.
+    # Matmul inputs run in the compute spec's dtype/precision with
+    # float32 accumulation; gate math and the c/h state stay float32 so
+    # error cannot compound across the thousands of scan steps.
     if isinstance(ih_w, QTensor):
         proj = q_einsum_ih(xs, ih_w)
     else:
@@ -329,6 +360,7 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
             "dti,dig->tdg",
             xs.astype(dtype),
             ih_w.astype(dtype),
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
     x_proj = proj + ih_b + hh_b  # (T, D, 4G) float32
@@ -342,7 +374,8 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
             rec = q_einsum_hh(h, hh_w)
         else:
             rec = jnp.einsum(
-                "dg,dgf->df", h.astype(dtype), hh_w, preferred_element_type=jnp.float32
+                "dg,dgf->df", h.astype(dtype), hh_w,
+                precision=prec, preferred_element_type=jnp.float32,
             )
         gates = xp + rec
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -355,39 +388,42 @@ def _bilstm_layer(x, ih_w, ih_b, hh_w, hh_b, h0, c0, dtype):
     return out, (hT, cT)
 
 
-def _pre_lstm(params: UMXParams, x: Array, cfg: ModelConfig, dtype) -> Array:
+def _pre_lstm(params: UMXParams, x: Array, cfg: ModelConfig, compute) -> Array:
     """Input scaling + fc1 + bn1 + tanh for one target: (T, F) → (T, H)."""
     if cfg.input_scaling == "openunmix":
         x = (x + params.input_mean) * params.input_scale
     else:  # reference deviation (inference.cpp:73-83)
         x = x * params.input_scale + params.input_mean
-    x = _mm(x, params.fc1_w, dtype)
+    x = _mm(x, params.fc1_w, compute)
     return jnp.tanh(
         _batchnorm(x, params.bn1_w, params.bn1_b, params.bn1_rm, params.bn1_rv, cfg.bn_eps)
     )
 
 
-def _post_lstm(params: UMXParams, x: Array, lstm_out: Array, cfg: ModelConfig, dtype) -> Array:
+def _post_lstm(params: UMXParams, x: Array, lstm_out: Array, cfg: ModelConfig, compute) -> Array:
     """Skip-concat + fc2/bn2/relu + fc3/bn3 + output norm for one target."""
     eps = cfg.bn_eps
     x = jnp.concatenate([x, lstm_out], axis=-1)  # (T, 2H)
-    x = _mm(x, params.fc2_w, dtype)
+    x = _mm(x, params.fc2_w, compute)
     x = jax.nn.relu(_batchnorm(x, params.bn2_w, params.bn2_b, params.bn2_rm, params.bn2_rv, eps))
-    x = _mm(x, params.fc3_w, dtype)
+    x = _mm(x, params.fc3_w, compute)
     x = _batchnorm(x, params.bn3_w, params.bn3_b, params.bn3_rm, params.bn3_rv, eps)
     return jax.nn.relu(x * params.output_scale + params.output_mean)  # mask (T, O)
 
 
 def _forward_one_target(
-    params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig, dtype=jnp.float32
+    params: UMXParams, x: Array, h0: Array, c0: Array, cfg: ModelConfig, compute=None
 ):
     """Mask network for ONE target (to be vmapped over the target axis).
 
     x: (T, F) cropped stacked-stereo magnitudes.  h0/c0: (L, D, G).
-    ``dtype`` is the MXU input precision for every matmul (accumulation
-    and elementwise math stay float32).  Returns (mask (T, O), (hT, cT)).
+    ``compute`` is the resolved (dtype, precision) spec for every matmul
+    (accumulation and elementwise math stay float32).
+    Returns (mask (T, O), (hT, cT)).
     """
-    x = _pre_lstm(params, x, cfg, dtype)
+    if compute is None:
+        compute = resolve_compute("default")
+    x = _pre_lstm(params, x, cfg, compute)
 
     lstm_in = x
     hTs, cTs = [], []
@@ -400,12 +436,12 @@ def _forward_one_target(
             params.lstm_hh_b[layer],
             h0[layer],
             c0[layer],
-            dtype,
+            compute,
         )
         hTs.append(hT)
         cTs.append(cT)
 
-    mask = _post_lstm(params, x, lstm_in, cfg, dtype)
+    mask = _post_lstm(params, x, lstm_in, cfg, compute)
     return mask, (jnp.stack(hTs), jnp.stack(cTs))
 
 
@@ -421,7 +457,7 @@ def resolve_lstm_impl(impl: str) -> str:
 
 
 def _umx_forward_pallas(
-    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, dtype,
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute,
     impl: str, interpret=False
 ):
     """Staged forward where each BLSTM layer's recurrence runs as one
@@ -434,7 +470,8 @@ def _umx_forward_pallas(
         lstm_layer_pallas_merged if impl == "pallas_merged" else lstm_layer_pallas
     )
 
-    x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, dtype))(params)  # (T#, T, H)
+    dtype, prec = compute
+    x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, compute))(params)  # (T#, T, H)
 
     lstm_in = x1
     hTs, cTs = [], []
@@ -449,6 +486,7 @@ def _umx_forward_pallas(
                 "jdti,jdig->jtdg",
                 xs.astype(dtype),
                 ih_w.astype(dtype),
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )
         x_proj = proj + (params.lstm_ih_b[:, layer] + params.lstm_hh_b[:, layer])[:, None]
@@ -477,29 +515,38 @@ def _umx_forward_pallas(
         hTs.append(hT)
         cTs.append(cT)
 
-    masks = jax.vmap(lambda tp, a, b: _post_lstm(tp, a, b, cfg, dtype))(params, x1, lstm_in)
+    masks = jax.vmap(lambda tp, a, b: _post_lstm(tp, a, b, cfg, compute))(params, x1, lstm_in)
     return masks, LSTMState(h=jnp.stack(hTs, axis=1), c=jnp.stack(cTs, axis=1))
 
 
 def umx_forward(
-    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute_dtype="float32"
+    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute="default"
 ) -> tuple[Array, LSTMState]:
     """All-targets mask network.
 
     x: (T, F) shared input magnitudes (float32); params carry the target
-    axis.  ``compute_dtype`` sets the MXU matmul input precision
-    (bfloat16 fast path); activations and state stay float32.
+    axis.  ``compute`` names a spec from ``_COMPUTE_SPECS``: "default"
+    (single-pass bf16 matmuls — what TPU DEFAULT precision does even for
+    f32 inputs), "high"/"highest" (3/6-pass fp32-class emulation — the
+    knobs that ACTUALLY change the TPU program), or the legacy dtype
+    names "float32"/"bfloat16" (identical programs on TPU, kept for
+    portability and CPU tests).  Activations and state stay float32.
+    NOTE: the Pallas merged-kernel recurrence (lstm_impl auto on TPU)
+    always runs bf16 hh-weights with f32 accumulation regardless of the
+    spec — its full-scale oracle deviation is identical to fp32
+    (PARITY.md); only the XLA matmul stages (fc1/fc2/fc3, ih
+    projections) honor high/highest.
     Returns (masks (T#, T, O), new streaming state).
     """
-    dtype = jnp.dtype(compute_dtype)
+    spec = resolve_compute(compute)
     x = x.astype(jnp.float32)
     impl = resolve_lstm_impl(cfg.lstm_impl)
     if impl.startswith("pallas"):
         return _umx_forward_pallas(
-            params, x, state, cfg, dtype, impl, interpret=impl == "pallas_interpret"
+            params, x, state, cfg, spec, impl, interpret=impl == "pallas_interpret"
         )
     masks, (hT, cT) = jax.vmap(
-        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, dtype)
+        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, spec)
     )(params, state.h, state.c)
     return masks, LSTMState(h=hT, c=cT)
 
