@@ -172,12 +172,29 @@ def main() -> int:
             + 2 * S * 2 * T * n_fft * 4  # frames write + OLA read
             + 3 * S * 2 * (n + 2 * dcfg.pad) * 4  # OLA out rw + final write
         ) / 1e9
-        for algo, macs in (("dense", macs_dense), ("ct", macs_ct)):
-            c = dataclasses.replace(dcfg, fft_impl="matmul", dft_algo=algo)
+        # ct2 (ops/istft_ct.py): stage1 K=2C stacked dot + 2 stage2 K=n1 dots
+        c_rows = (n_fft // 2) // n1 + 1
+        macs_ct2 = S * 2 * T * (2 * c_rows * n1 * n2 + 2 * n1 * n1 * n2)
+        for algo, macs in (
+            ("dense", macs_dense),
+            ("ct", macs_ct),
+            ("ct2_xla", macs_ct2),
+            ("ct2", macs_ct2),
+        ):
+            if algo.startswith("ct2"):
+                c = dataclasses.replace(dcfg, fft_impl="matmul", istft_algo=algo)
+            else:
+                c = dataclasses.replace(
+                    dcfg, fft_impl="matmul", dft_algo=algo, istft_algo="dense"
+                )
             fn = jax.jit(
                 lambda re, im, c=c: stft_ops.istft_planes(re, im, n, c)
             )
-            ms = timeit(fn, sre, sim) * 1000
+            try:
+                ms = timeit(fn, sre, sim) * 1000
+            except Exception as exc:  # noqa: BLE001
+                report(f"istft[{algo}]", 0.0, 0.0, 0.0, note=f"FAILED {type(exc).__name__}")
+                continue
             report(f"istft[{algo}]", ms, 2 * macs / 1e9, gb_io)
 
     # ---- Wiener ------------------------------------------------------------

@@ -119,22 +119,42 @@ def stft(x: Array, cfg: DSPConfig) -> Array:
     return jax.lax.complex(re, im)
 
 
+def _resolve_istft_algo(cfg: DSPConfig) -> str:
+    algo = getattr(cfg, "istft_algo", "auto")
+    if algo == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return "ct2" if on_tpu and cfg.n_fft % 1024 == 0 else "dense"
+    return algo
+
+
 def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     """Inverse STFT from (re, im) planes → (..., n_samples).
 
     The synthesis window is folded into the inverse-DFT matmul
     (ops/fft.py irdft ``window=``) instead of a separate full-frame
-    multiply pass — the reference multiplies post-iFFT (dsp.cpp:178-258)."""
+    multiply pass — the reference multiplies post-iFFT (dsp.cpp:178-258).
+
+    On TPU the inverse transform + overlap-add run the fused Cooley-Tukey
+    path (cfg.istft_algo, ops/istft_ct.py) — 12x fewer MACs than the
+    dense matmul-DFT with overlap-add in the permuted domain."""
     n_frames = re.shape[-2]
     win = hann_window(cfg.n_fft)
-    if _use_matmul_fft(cfg):
-        frames = mxu_fft.irdft(
-            re, im, cfg.n_fft, cfg.dft_precision, cfg.dft_algo, window=win
-        )
+    algo = _resolve_istft_algo(cfg) if _use_matmul_fft(cfg) else "dense"
+    if algo != "dense":
+        from umx_tpu.ops import istft_ct
+
+        impl = {"ct2": "pallas", "ct2_xla": "xla", "ct2_interpret": "pallas_interpret"}[algo]
+        xp = istft_ct.irdft_ct2(re, im, cfg.n_fft, window=win, impl=impl)
+        sig = istft_ct.overlap_add_perm(xp, cfg.n_fft, cfg.hop)
     else:
-        spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
-        frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1).astype(jnp.float32) * win
-    sig = overlap_add(frames, cfg.hop)
+        if _use_matmul_fft(cfg):
+            frames = mxu_fft.irdft(
+                re, im, cfg.n_fft, cfg.dft_precision, cfg.dft_algo, window=win
+            )
+        else:
+            spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+            frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1).astype(jnp.float32) * win
+        sig = overlap_add(frames, cfg.hop)
     wss = window_sumsquare(win, n_frames, cfg.hop, sig.shape[-1])
     sig = sig / (wss + 1e-8)
     return sig[..., cfg.pad : cfg.pad + n_samples]
