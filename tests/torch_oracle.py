@@ -50,9 +50,21 @@ class TorchUMX(nn.Module):
         self.load_state_dict(tensors, strict=False)
 
     @torch.no_grad()
-    def forward(self, x: torch.Tensor, input_scaling: str = "openunmix") -> torch.Tensor:
+    def forward(
+        self,
+        x: torch.Tensor,
+        input_scaling: str = "openunmix",
+        state=None,
+        return_state: bool = False,
+    ):
         """x: (T, 2*nb_bins) cropped stacked-stereo magnitudes →
-        mask (T, 2*nb_output_bins)."""
+        mask (T, 2*nb_output_bins).
+
+        ``state`` is an optional nn.LSTM (h0, c0) pair carried from a
+        previous segment — the reference's streaming LSTM whose arenas
+        persist across segments (umx.cpp:167-171, lstm.cpp:82).  With
+        ``return_state`` the new (hT, cT) is returned alongside the mask.
+        """
         self.eval()
         T = x.shape[0]
         mean = torch.cat([self.input_mean, self.input_mean])
@@ -65,7 +77,7 @@ class TorchUMX(nn.Module):
         x = self.bn1(x)
         x = torch.tanh(x)
         # nn.LSTM wants (T, batch, feat)
-        lstm_out, _ = self.lstm(x.unsqueeze(1))
+        lstm_out, new_state = self.lstm(x.unsqueeze(1), state)
         x = torch.cat([x, lstm_out.squeeze(1)], dim=-1)
         x = self.fc2(x)
         x = self.bn2(x)
@@ -75,7 +87,8 @@ class TorchUMX(nn.Module):
         out_scale = torch.cat([self.output_scale, self.output_scale])
         out_mean = torch.cat([self.output_mean, self.output_mean])
         x = x * out_scale + out_mean
-        return torch.relu(x).reshape(T, -1)
+        mask = torch.relu(x).reshape(T, -1)
+        return (mask, new_state) if return_state else mask
 
 
 @torch.no_grad()
@@ -136,3 +149,34 @@ def oracle_masks(
         m.load_target_state_dict(state_dicts[t])
         outs.append(m.forward(torch.from_numpy(x), input_scaling).numpy())
     return np.stack(outs)
+
+
+def oracle_masks_stream(
+    state_dicts: dict[str, dict[str, np.ndarray]],
+    xs: list[np.ndarray],
+    hidden_size: int,
+    input_scaling: str = "openunmix",
+) -> list[np.ndarray]:
+    """Like :func:`oracle_masks` but over SEQUENTIAL segments with the
+    LSTM state carried across boundaries — the reference's streaming
+    LSTM semantics (persistent arenas, umx.cpp:167-171 / lstm.cpp:82).
+    Returns one stacked (4, T, 4098) mask array per segment."""
+    from umx_tpu.io.ggml import TARGET_ORDER
+
+    nb_bins = xs[0].shape[1] // 2
+    models = []
+    for t in TARGET_ORDER:
+        m = TorchUMX(hidden_size, nb_bins=nb_bins)
+        m.load_target_state_dict(state_dicts[t])
+        models.append(m)
+    states = [None] * len(models)
+    outs = []
+    for x in xs:
+        seg = []
+        for i, m in enumerate(models):
+            mask, states[i] = m.forward(
+                torch.from_numpy(x), input_scaling, state=states[i], return_state=True
+            )
+            seg.append(mask.numpy())
+        outs.append(np.stack(seg))
+    return outs
