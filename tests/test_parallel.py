@@ -74,6 +74,54 @@ def test_dp_tp_mesh_demix(cfg, params):
     np.testing.assert_allclose(np.asarray(out_b)[0], np.asarray(ref), atol=2e-4)
 
 
+def _tpu_shaped(cfg):
+    # The audit must check the program that ships on TPU: the matmul-DFT
+    # path.  With the CPU backend's native `fft` op in the graph, XLA
+    # cannot shard the FFT over the batch axis and inserts batch
+    # all-gathers — a CPU-only artifact that does not exist on TPU
+    # (axon has no XLA FFT; stft/istft lower to dot_general).
+    import dataclasses
+
+    return cfg.replace(dsp=dataclasses.replace(cfg.dsp, fft_impl="matmul"))
+
+
+def test_dp_fleet_hlo_has_no_collectives(cfg, params):
+    """The dp fleet plan promises zero cross-chip communication inside a
+    track's forward (mesh.py docstring); assert it on the compiled HLO."""
+    from umx_tpu.parallel.sharding import audit_collectives
+
+    mesh = make_mesh(dp=8, tp=1)
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    rng = np.random.default_rng(57)
+    batch = rng.uniform(-0.5, 0.5, (8, 2, n)).astype(np.float32)
+    states = batched_lstm_state(cfg, 8)
+    found = audit_collectives(params, batch, states, _tpu_shaped(cfg), mesh)
+    assert found == [], "collectives in dp hot path:\n" + "\n".join(found)
+
+
+def test_tp_inference_collectives_are_small_combines_only(cfg, params):
+    """tp target sharding communicates ONLY at the target-combine points:
+    per-target mask all-gathers and the Wiener mixture re-estimate's
+    sum-over-sources, which lowers as one small (T, F)-sized complex
+    all-reduce (~1.4 MB — cheap on ICI).  No all-to-all / permute /
+    reduce-scatter, and no more than a handful of combine points."""
+    from umx_tpu.parallel.sharding import audit_collectives
+
+    mesh = make_mesh(dp=4, tp=2)
+    n = cfg.segment.segment_samples(cfg.dsp.sample_rate)
+    rng = np.random.default_rng(58)
+    batch = rng.uniform(-0.5, 0.5, (4, 2, n)).astype(np.float32)
+    states = batched_lstm_state(cfg, 4)
+    found = audit_collectives(params, batch, states, _tpu_shaped(cfg), mesh, tp=True)
+    bad = [
+        s
+        for s in found
+        if "all-gather" not in s and "all-reduce" not in s
+    ]
+    assert bad == [], "unexpected collectives in tp path:\n" + "\n".join(bad)
+    assert len(found) <= 4, "too many combine points:\n" + "\n".join(found)
+
+
 def test_training_step_dp_tp_loss_decreases(cfg, params):
     from umx_tpu.train import (
         TrainConfig,

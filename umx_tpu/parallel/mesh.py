@@ -12,9 +12,11 @@ Axes:
   (the model is ~132 MB and fits one chip's HBM trivially), so dp is
   the throughput axis for fleet configs (BASELINE.json config 5).
 * ``tp`` — model parallel over the 4 separation targets: each chip
-  holds 4/tp targets' weights.  Combining masked spectrograms for the
-  Wiener filter all-gathers over tp — a tiny (T, F) tensor per step,
-  cheap on ICI.
+  holds 4/tp targets' weights.  The only cross-chip communication is
+  at the target-combine points: per-target mask all-gathers and the
+  Wiener mixture re-estimate's sum-over-sources, which XLA lowers as
+  one small (T, F) complex all-reduce (~1.4 MB per segment — cheap on
+  ICI; audited by tests/test_parallel.py on the compiled HLO).
 """
 
 from __future__ import annotations

@@ -64,3 +64,52 @@ def batched_lstm_state(cfg, batch: int) -> LSTMState:
 
     st = init_lstm_state(cfg.model)
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch, *x.shape)), st)
+
+
+_COLLECTIVE_OPS = (
+    "all-reduce",
+    "all-gather",
+    "all-to-all",
+    "collective-permute",
+    "reduce-scatter",
+    "collective-broadcast",
+)
+
+
+def audit_collectives(
+    params: UMXParams,
+    audio_batch,
+    states: LSTMState,
+    cfg: EngineConfig,
+    mesh: Mesh,
+    tp: bool = False,
+) -> list[str]:
+    """Compile the batched demix program under the given mesh shardings
+    and return every collective instruction in the optimized HLO.
+
+    The dp fleet plan (SURVEY §2d / mesh.py docstring) promises *zero*
+    cross-chip communication in a track's forward — each chip runs the
+    whole per-segment pipeline on its shard of the batch.  This audit
+    turns that promise into a checkable property of the compiled
+    program (VERDICT r2 #6); with ``tp`` the expected collectives are
+    the tiny per-target mask all-gathers only.
+    """
+    n_samples = audio_batch.shape[-1]
+    dp = NamedSharding(mesh, P("dp"))
+    audio_batch = jax.device_put(jnp.asarray(audio_batch, jnp.float32), dp)
+    states = jax.tree.map(lambda x: jax.device_put(x, dp), states)
+    params = shard_params(params, mesh, tp=tp)
+    compiled = (
+        _batched_segment_forward.lower(params, audio_batch, states, cfg, n_samples)
+        .compile()
+    )
+    found: list[str] = []
+    for line in compiled.as_text().splitlines():
+        s = line.strip()
+        for op in _COLLECTIVE_OPS:
+            # match HLO instruction definitions ("%x = ... all-reduce(...")
+            # and custom-call lowerings, not metadata/comment mentions
+            if f" {op}(" in s or f"{op}-start(" in s:
+                found.append(s[:160])
+                break
+    return found
