@@ -160,9 +160,10 @@ def test_multi_shift_averaging(cfg, audio):
 
 
 def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
-    """demix_fused_parallel is no longer the non-streaming default (the
-    sequential scan + merged kernel is faster, PERF.md) but remains a
-    supported alternative — keep it equal to the host loop."""
+    """demix_fused_parallel IS the non-streaming default (chunk_batch=4:
+    batched chunks fold into the batch-native BLSTM kernel's matmul
+    rows — 839× vs 698× sequential, PERF.md round-2 close); keep it
+    equal to the host loop."""
     import math
 
     import jax.numpy as jnp

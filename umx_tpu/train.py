@@ -121,18 +121,24 @@ class PlateauScheduler:
     _cool: int = 0
 
     def update(self, loss: float) -> float:
-        """Feed one validation loss; returns the (possibly lowered) LR."""
+        """Feed one validation loss; returns the (possibly lowered) LR.
+
+        Mirrors torch ReduceLROnPlateau exactly: the cooldown counter
+        decrements EVERY epoch it is active (improving or not) and
+        suppresses bad-epoch counting while active, so decay resumes at
+        the same epoch upstream would."""
         if loss < self.best:
             self.best = loss
             self._bad = 0
-        elif self._cool > 0:
-            self._cool -= 1
         else:
             self._bad += 1
-            if self._bad > self.patience:
-                self.lr *= self.gamma
-                self._bad = 0
-                self._cool = self.cooldown
+        if self._cool > 0:
+            self._cool -= 1
+            self._bad = 0
+        if self._bad > self.patience:
+            self.lr *= self.gamma
+            self._bad = 0
+            self._cool = self.cooldown
         return self.lr
 
 
