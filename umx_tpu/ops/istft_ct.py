@@ -190,13 +190,13 @@ def _stages_pallas(v: Array, n_fft: int, window: Array | None, interpret: bool) 
     twc_x = jnp.asarray(np.repeat(twc, kf, axis=0))  # (N1*kf, n2)
     tws_x = jnp.asarray(np.repeat(tws, kf, axis=0))
     wstack, c2, s2 = jnp.asarray(wstack), jnp.asarray(c2), jnp.asarray(s2)
-    # window expanded to the 2D (b', [f a']) output form: lanes tile kf x
-    win_np = (
-        np.asarray(window, np.float32).reshape(N1, n2)
-        if window is not None
-        else np.ones((N1, n2), np.float32)
-    )
-    wgrid_x = jnp.asarray(np.tile(win_np, (1, kf)))  # (N1, kf*n2)
+    # window expanded to the 2D (b', [f a']) output form: lanes tile kf x.
+    # Built with jnp ops — `window` may be a traced array under jit.
+    if window is not None:
+        win2 = jnp.asarray(window, jnp.float32).reshape(N1, n2)
+    else:
+        win2 = jnp.ones((N1, n2), jnp.float32)
+    wgrid_x = jnp.tile(win2, (1, kf))  # (N1, kf*n2)
 
     grid = (b_sz, t_pad // kf)
     const = lambda shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape))
