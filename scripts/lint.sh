@@ -9,8 +9,14 @@ cd "$(dirname "$0")/.."
 echo "== python compileall =="
 python -m compileall -q umx_tpu tests scripts bench.py __graft_entry__.py
 
-echo "== native g++ -Wall -Wextra -Werror syntax pass =="
-g++ -O2 -Wall -Wextra -Werror -std=c++17 -fsyntax-only native/umxio.cpp
+echo "== native g++ -Wall -Wextra -Werror -fanalyzer static analysis =="
+# -fanalyzer is GCC's interprocedural path-sensitive analyzer — the
+# available analog of the reference's cppcheck --enable=all + clang
+# scan-build lint target (CMakeLists.txt:75-82); it checks for leaks,
+# use-after-free, null derefs, and out-of-bounds paths.
+for src in native/umxio.cpp native/flac.cpp; do
+  g++ -O2 -Wall -Wextra -Werror -std=c++17 -fanalyzer -fsyntax-only "$src"
+done
 
 echo "== pytest collection =="
 python -m pytest tests/ --collect-only -q | tail -2
