@@ -18,6 +18,7 @@ Timing per the axon rules (PERF.md): N pipelined calls, one drain.
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -71,39 +72,51 @@ def main() -> int:
     def report(name, s):
         print(f"{name:>12}: {s*1e3:8.2f} ms")
 
-    # A. layout pass alone
-    f_layout = jax.jit(lambda re, im: istft_ct.ct2_layout(re, im, n_fft, F))
+    # A. natural-layout fold (vstack) alone — elementwise+pad, no transpose
+    f_vstack = jax.jit(lambda re, im: istft_ct.ct2f_vstack(re, im, n_fft))
     try:
-        report("layout", timeit(f_layout, sre, sim))
+        report("vstack", timeit(f_vstack, sre, sim))
     except Exception as e:  # noqa: BLE001
-        print(f"layout FAILED {type(e).__name__}: {str(e)[:160]}")
+        print(f"vstack FAILED {type(e).__name__}: {str(e)[:160]}")
 
-    # B. pallas stages from pre-laid-out v
-    v = f_layout(sre, sim)
-    v = jax.block_until_ready(v)
-    t = v.shape[-1]
-    t_pad = -(-t // istft_ct.N1) * istft_ct.N1
+    # B. fused kernel from pre-stacked v, per (g, kf) tiling
+    v = jax.block_until_ready(f_vstack(sre, sim))
     v4 = v.reshape(-1, *v.shape[-3:])
-    if t_pad != t:
-        v4 = jnp.pad(v4, [(0, 0), (0, 0), (0, 0), (0, t_pad - t)])
-    v4 = jax.block_until_ready(v4)
+    for g, kf in ((4, 8), (8, 8), (4, 16), (2, 8)):
+        t_pad = -(-T // kf) * kf
+        vp = jnp.pad(v4, [(0, 0), (0, t_pad - T), (0, 0), (0, 0)])
+        vp = jax.block_until_ready(vp)
+        f_k = jax.jit(
+            functools.partial(
+                istft_ct._ct2f_kernel_call,
+                n_fft=n_fft, window=win, g=g, kf=kf, interpret=False,
+            )
+        )
+        try:
+            report(f"kern[g{g},kf{kf}]", timeit(f_k, vp))
+        except Exception as e:  # noqa: BLE001
+            print(f"kern[g{g},kf{kf}] FAILED {type(e).__name__}: {str(e)[:200]}")
 
-    f_stages = jax.jit(
-        lambda vv: istft_ct._stages_pallas(vv, n_fft, win, interpret=False)
-    )
+    # C. permuted-flat OLA + un-permute alone
     try:
-        report("stages_p", timeit(f_stages, v4))
+        t_pad = -(-T // 8) * 8
+        vp = jax.block_until_ready(
+            jnp.pad(v4, [(0, 0), (0, t_pad - T), (0, 0), (0, 0)])
+        )
+        xf = jax.block_until_ready(
+            jax.jit(
+                functools.partial(
+                    istft_ct._ct2f_kernel_call,
+                    n_fft=n_fft, window=win, g=4, kf=8, interpret=False,
+                )
+            )(vp)
+        )
+        f_ola = jax.jit(
+            lambda x: istft_ct.overlap_add_perm_flat(x, n_fft, dcfg.hop, T)
+        )
+        report("ola_flat", timeit(f_ola, xf))
     except Exception as e:  # noqa: BLE001
-        print(f"stages_p FAILED {type(e).__name__}: {str(e)[:300]}")
-
-    # C. permuted OLA alone
-    try:
-        xp = f_stages(v4)[:, :, :t, :]
-        xp = jax.block_until_ready(xp.reshape(S, 2, istft_ct.N1, t, xp.shape[-1]))
-        f_ola = jax.jit(lambda x: istft_ct.overlap_add_perm(x, n_fft, dcfg.hop))
-        report("ola_perm", timeit(f_ola, xp))
-    except Exception as e:  # noqa: BLE001
-        print(f"ola_perm FAILED {type(e).__name__}: {str(e)[:160]}")
+        print(f"ola_flat FAILED {type(e).__name__}: {str(e)[:200]}")
 
     # D/E. e2e istft
     import dataclasses

@@ -53,20 +53,33 @@ class TestCT2Stages:
         want = _dense_frames(re, im, 4096, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
-    def test_pallas_interpret_matches_xla(self):
+    def test_fused_interpret_matches_xla_arm(self):
+        # the fused natural-layout kernel (+ permuted-flat OLA) against
+        # the einsum arm (+ 4D permuted OLA): same signal, different
+        # pipelines/layouts end to end
         re, im = _random_planes(t=40, lead=(2,), seed=1)
         win = stft_ops.hann_window(4096)
-        xla = istft_ct.irdft_ct2(re, im, 4096, window=win, impl="xla")
-        pal = istft_ct.irdft_ct2(re, im, 4096, window=win, impl="pallas_interpret")
-        assert pal.shape == xla.shape
-        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=1e-5)
+        xp = istft_ct.irdft_ct2(re, im, 4096, window=win, impl="xla")
+        want = istft_ct.overlap_add_perm(xp, 4096, 1024)
+        got = istft_ct.istft_ct2_fused(re, im, 4096, 1024, window=win, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-    def test_pallas_pads_ragged_frame_count(self):
-        # T=37 is not a multiple of the 128-frame grid block
+    def test_fused_pads_ragged_frame_count(self):
+        # T=37 is not a multiple of the kf=8 frame block
         re, im = _random_planes(t=37, lead=(3,), seed=2)
-        xla = istft_ct.irdft_ct2(re, im, 4096, window=None, impl="xla")
-        pal = istft_ct.irdft_ct2(re, im, 4096, window=None, impl="pallas_interpret")
-        np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=1e-5)
+        xp = istft_ct.irdft_ct2(re, im, 4096, window=None, impl="xla")
+        want = istft_ct.overlap_add_perm(xp, 4096, 1024)
+        got = istft_ct.istft_ct2_fused(re, im, 4096, 1024, window=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_fused_group_sizes_agree(self):
+        re, im = _random_planes(t=24, seed=5)
+        a = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=4, kf=8, interpret=True)
+        b = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=8, kf=8, interpret=True)
+        c = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=2, kf=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
 
 
 class TestPermutedOLA:

@@ -154,103 +154,202 @@ def _dot0(m, x):
     )
 
 
-def _stages_pallas(v: Array, n_fft: int, window: Array | None, interpret: bool) -> Array:
-    """CT stages as TWO Pallas kernels with an HBM round trip between.
+# ---------------------------------------------------------------------------
+# Fused natural-layout kernel (round 3, second design)
+#
+# The first design required the spectra in bins-major layout; the
+# (T, 2C, N1) -> (2C, N1, T) relayout alone measured 12.6 ms on-chip —
+# as much as the whole dense iSTFT (scripts/ct2_decompose_probe.py).
+# This kernel consumes the planes in their NATURAL (T-major, F-lanes)
+# layout and keeps every tensor in a pinned layout end to end:
+#
+# * the (re, im) planes are fold-weighted, bin-padded to 17*128, and
+#   stacked to (..., T, 40, 128) rows [vre(17); vim(17); 0(6)] — all
+#   elementwise/pad ops, no transpose; 40 rows keep the sublane tiling
+#   8-aligned so the global (T*40, 128) flattening is free;
+# * stage 1 contracts the 40 stacked bin rows of g frames at once with a
+#   BLOCK-DIAGONAL (g*40, g*32) constant: out (128 e-rows, g*32 (f,a)
+#   lanes).  The g x MAC waste of the zero blocks is the price of
+#   keeping frames batched through one MXU pass from the natural layout
+#   (per-frame dots are issue-bound: ~20k frames x ~200 cycles);
+# * twiddle is 2D elementwise against (128, g*32)-tiled constants;
+# * stage 2 is a dense (128,128) @ (128, g*32) pair per group — e rows
+#   in, b' rows out — with the synthesis window folded in;
+# * groups write static lane slices of a flat (128, K_f*32) block into
+#   the global (B, 128, Tpad*32) PERMUTED-FLAT frame tensor: sample
+#   n = 32 b' + a of frame t lives at [b', t*32 + a].
+#
+# Overlap-add then runs IN the permuted-flat domain: hop = 1024 = 32*32
+# means piece u of a frame is the contiguous row slice [32u, 32u+32),
+# and a one-hop shift is a 32*32-element (4 KiB, DMA-granule-aligned)
+# lane shift — so OLA is 4 static row-slices + lane pads + adds.  Only
+# the summed signal (~n_fft/hop x smaller than the frames) pays the one
+# unavoidable relayout back to time order.
+# ---------------------------------------------------------------------------
 
-    ``v (B, 2C, N1, Tpad)`` with ``Tpad % 128 == 0`` → ``(B, N1, Tpad, n2)``.
+_C_PAD = 3  # zero rows appended to the 2*17 stacked bin rows -> 40 (8 | 40)
 
-    Mosaic layout rule learned on-chip (round 3): reshapes that MERGE a
-    computed vreg's trailing dims into the lane dim ("(128,128,32) →
-    (128,4096)") are *unsupported shape casts* — and a dim-0 dot_general
-    with a 3D rhs lowers through exactly that reshape.  Load-side merges
-    (ref[...] then reshape) and computed SUBLANE splits are fine.  So:
 
-    * kernel A (stage 1 + twiddle): load-merge v to (2C, N1*kf), one
-      stacked K=2C dot producing ([e' f], [Ure|Uim]), twiddle applied in
-      2D against row-repeated constants, outputs written as the free
-      sublane-split (N1, kf, n2) — giving T the (e', frames, a') HBM
-      layout stage 2 wants;
-    * kernel B (stage 2 + window): load-merge T blocks to (N1, kf*n2),
-      two K=N1 dots → (b', [f a']), window epilogue in tiled-2D form,
-      output written 2D and lane-split OUTSIDE the kernel (an XLA
-      metadata reshape on the HBM array).
-
-    The T round trip costs ~1.4 GB of HBM traffic per 60 s segment
-    (~2 ms at the measured 653 GB/s) — accepted; every tensor keeps a
-    pinned layout and the dense path's 694 GFLOP drop to ~55.
-    """
+@functools.lru_cache(maxsize=4)
+def _ct2f_consts_np(n_fft: int, g: int):
     n2 = _n2(n_fft)
     c_rows = _c_rows(n_fft)
-    b_sz, two_c, n1, t_pad = v.shape
-    assert two_c == 2 * c_rows and n1 == N1 and t_pad % N1 == 0
-    kf = N1  # frames per grid step (lane dim of the input block)
+    rows = 2 * c_rows + 2 * _C_PAD  # 40 at n_fft=4096
     wstack, twc, tws, c2, s2 = _ct2_consts_np(n_fft)
-    # twiddle expanded to the 2D ([e' f], a') working form: row e' repeats
-    # kf times (one per frame in the block)
-    twc_x = jnp.asarray(np.repeat(twc, kf, axis=0))  # (N1*kf, n2)
-    tws_x = jnp.asarray(np.repeat(tws, kf, axis=0))
-    wstack, c2, s2 = jnp.asarray(wstack), jnp.asarray(c2), jnp.asarray(s2)
-    # window expanded to the 2D (b', [f a']) output form: lanes tile kf x.
-    # Built with jnp ops — `window` may be a traced array under jit.
+    c1 = wstack[:c_rows, :n2]  # cos(2pi c a / n2)
+    s1 = wstack[:c_rows, n2 : 2 * n2]  # sin
+    zero = np.zeros((2 * _C_PAD, n2), np.float32)
+    w1re = np.concatenate([c1, -s1, zero])  # (40, 32): U_re rows
+    w1im = np.concatenate([s1, c1, zero])  # (40, 32): U_im rows
+    f32 = np.float32
+
+    def bd(m):  # block-diagonal over the g frames of a group
+        out = np.zeros((g * rows, g * m.shape[1]), f32)
+        for i in range(g):
+            out[i * rows : (i + 1) * rows, i * m.shape[1] : (i + 1) * m.shape[1]] = m
+        return out
+
+    return (
+        bd(w1re),
+        bd(w1im),
+        np.tile(twc, (1, g)).astype(f32),  # (128, g*32)
+        np.tile(tws, (1, g)).astype(f32),
+        c2,  # (128, 128) cos(2pi e b / 128)
+        s2,
+    )
+
+
+def ct2f_vstack(re: Array, im: Array, n_fft: int) -> Array:
+    """Natural-layout fold: planes (..., T, n_bins) -> (..., T, 40, 128).
+
+    Pure elementwise + pad + free reshapes — NO transpose (the whole
+    point of this formulation)."""
+    c_rows = _c_rows(n_fft)
+    n_bins = re.shape[-1]
+    assert n_bins == n_fft // 2 + 1
+    lead = re.shape[:-2]
+    t = re.shape[-2]
+    w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
+    w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
+    pad = c_rows * N1 - n_bins
+    widths = [(0, 0)] * len(lead) + [(0, 0), (0, pad)]
+    vre = jnp.pad(re.astype(jnp.float32) * w, widths).reshape(*lead, t, c_rows, N1)
+    vim = jnp.pad(im.astype(jnp.float32) * w, widths).reshape(*lead, t, c_rows, N1)
+    zeros = jnp.zeros((*lead, t, 2 * _C_PAD, N1), jnp.float32)
+    return jnp.concatenate([vre, vim, zeros], axis=-2)  # (..., T, 40, 128)
+
+
+def _ct2f_kernel_call(
+    v: Array, n_fft: int, window: Array | None, g: int, kf: int, interpret: bool
+) -> Array:
+    """v (B, Tpad, 40, 128) natural-stacked -> permuted-flat frames
+    (B, 128, Tpad*32)."""
+    n2 = _n2(n_fft)
+    b_sz, t_pad, rows, n1 = v.shape
+    assert n1 == N1 and rows == 2 * _c_rows(n_fft) + 2 * _C_PAD
+    assert t_pad % kf == 0 and kf % g == 0
+    w1re, w1im, twc_g, tws_g, c2, s2 = (
+        jnp.asarray(m) for m in _ct2f_consts_np(n_fft, g)
+    )
     if window is not None:
         win2 = jnp.asarray(window, jnp.float32).reshape(N1, n2)
     else:
         win2 = jnp.ones((N1, n2), jnp.float32)
-    wgrid_x = jnp.tile(win2, (1, kf))  # (N1, kf*n2)
+    wgrid_g = jnp.tile(win2, (1, g))  # (128, g*32)
 
+    v2 = v.reshape(b_sz, t_pad * rows, N1)  # free: 8 | rows, lanes fixed
+    n_groups = kf // g
     grid = (b_sz, t_pad // kf)
     const = lambda shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape))
 
-    def kernel_a(v_ref, ws_ref, twc_ref, tws_ref, tre_ref, tim_ref):
-        vs = v_ref[...].reshape(2 * c_rows, N1 * kf)  # load-side merge: ok
-        d = _dot0(vs, ws_ref[...])  # ([e' f], [Ure | Uim])
-        ure, uim = d[:, :n2], d[:, n2:]
-        tre = ure * twc_ref[...] - uim * tws_ref[...]  # 2D twiddle
-        tim = ure * tws_ref[...] + uim * twc_ref[...]
-        # computed sublane SPLIT (lane dim n2 unchanged): supported
-        tre_ref[...] = tre.reshape(1, N1, kf, n2)
-        tim_ref[...] = tim.reshape(1, N1, kf, n2)
+    def kernel(v_ref, w1re_ref, w1im_ref, twc_ref, tws_ref, c2_ref, s2_ref,
+               wg_ref, o_ref):
+        for gi in range(n_groups):
+            vg = v_ref[0, gi * g * rows : (gi + 1) * g * rows, :]  # (g*40, 128)
+            ure = _dot0(vg, w1re_ref[...])  # (128 e, g*32 (f,a))
+            uim = _dot0(vg, w1im_ref[...])
+            tre = ure * twc_ref[...] - uim * tws_ref[...]
+            tim = ure * tws_ref[...] + uim * twc_ref[...]
+            xg = _dot0(c2_ref[...], tre) - _dot0(s2_ref[...], tim)  # (128 b, g*32)
+            o_ref[0, :, gi * g * n2 : (gi + 1) * g * n2] = xg * wg_ref[...]
 
-    t_shape = jax.ShapeDtypeStruct((b_sz, N1, t_pad, n2), jnp.float32)
-    tre, tim = pl.pallas_call(
-        kernel_a,
+    return pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * c_rows, N1, kf), lambda bi, ti: (bi, 0, 0, ti)),
-            const(wstack.shape),
-            const(twc_x.shape),
-            const(tws_x.shape),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, N1, kf, n2), lambda bi, ti: (bi, 0, ti, 0)),
-            pl.BlockSpec((1, N1, kf, n2), lambda bi, ti: (bi, 0, ti, 0)),
-        ],
-        out_shape=[t_shape, t_shape],
-        interpret=interpret,
-    )(v, wstack, twc_x, tws_x)
-
-    def kernel_b(tre_ref, tim_ref, c2_ref, s2_ref, wg_ref, o_ref):
-        tre2 = tre_ref[...].reshape(N1, kf * n2)  # load-side merge: ok
-        tim2 = tim_ref[...].reshape(N1, kf * n2)
-        x = _dot0(c2_ref[...], tre2) - _dot0(s2_ref[...], tim2)  # (b', [f a'])
-        o_ref[...] = (x * wg_ref[...]).reshape(1, N1, kf * n2)
-
-    out2d = pl.pallas_call(
-        kernel_b,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, N1, kf, n2), lambda bi, ti: (bi, 0, ti, 0)),
-            pl.BlockSpec((1, N1, kf, n2), lambda bi, ti: (bi, 0, ti, 0)),
+            pl.BlockSpec((1, kf * rows, N1), lambda bi, ti: (bi, ti, 0)),
+            const(w1re.shape),
+            const(w1im.shape),
+            const(twc_g.shape),
+            const(tws_g.shape),
             const(c2.shape),
             const(s2.shape),
-            const(wgrid_x.shape),
+            const(wgrid_g.shape),
         ],
         out_specs=pl.BlockSpec((1, N1, kf * n2), lambda bi, ti: (bi, 0, ti)),
         out_shape=jax.ShapeDtypeStruct((b_sz, N1, t_pad * n2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(tre, tim, c2, s2, wgrid_x)
-    # lane-split OUTSIDE the kernel: free metadata reshape on the HBM array
-    return out2d.reshape(b_sz, N1, t_pad, n2)
+    )(v2, w1re, w1im, twc_g, tws_g, c2, s2, wgrid_g)
+
+
+def overlap_add_perm_flat(xf: Array, n_fft: int, hop: int, t: int) -> Array:
+    """Overlap-add + un-permute from the permuted-flat frame tensor.
+
+    xf (..., N1, Tpad*n2) with sample ``n2*b' + a`` of frame ``t`` at
+    ``[..., b', t*n2 + a]`` -> signal (..., (t-1)*hop + n_fft).
+
+    All OLA arithmetic stays in the permuted domain: piece u of a frame
+    is the contiguous row slice [pb*u, pb*u+pb), and the frame axis is
+    n2-element groups of lanes, so the hop shift is a lane pad by a
+    multiple of n2*pb... strictly: slot h receives piece u of frame
+    h - u, i.e. row-block u shifted u frames right.  Only the summed
+    signal — n_fft/hop x smaller than the frames — pays the final
+    relayout to time order."""
+    n2 = _n2(n_fft)
+    pieces = n_fft // hop
+    pb = N1 // pieces  # rows per hop piece (32)
+    assert pb * n2 == hop
+    lead = xf.shape[:-2]
+    nl = len(lead)
+    xf = xf[..., : t * n2]  # crop padded frames
+    total = None
+    for u in range(pieces):
+        sl = xf[..., u * pb : (u + 1) * pb, :]  # (..., pb, t*n2)
+        sl = jnp.pad(sl, [(0, 0)] * nl + [(0, 0), (u * n2, (pieces - 1 - u) * n2)])
+        total = sl if total is None else total + sl
+    h = t + pieces - 1  # hop slots
+    # total (..., pb, h*n2): slot h2's samples hop*h2 + n2*b2 + a at
+    # [..., b2, h2*n2 + a].  Un-permute: -> (..., h, pb, n2) -> flat.
+    s3 = total.reshape(*lead, pb, h, n2)
+    s3 = jnp.moveaxis(s3, -3, -2)  # (..., h, pb, n2)
+    return s3.reshape(*lead, h * hop)
+
+
+def istft_ct2_fused(
+    re: Array,
+    im: Array,
+    n_fft: int,
+    hop: int,
+    window: Array | None = None,
+    g: int = 4,
+    kf: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Natural-layout fused CT iSTFT: planes (..., T, n_bins) -> raw
+    overlap-added signal (..., (T-1)*hop + n_fft) — the drop-in
+    replacement for irdft+overlap_add (window folded; the caller still
+    divides by the window-sumsquare envelope)."""
+    lead = re.shape[:-2]
+    t = re.shape[-2]
+    v = ct2f_vstack(re, im, n_fft)  # (..., T, 40, 128)
+    v = v.reshape(-1, *v.shape[-3:])
+    t_pad = -(-t // kf) * kf
+    if t_pad != t:
+        v = jnp.pad(v, [(0, 0), (0, t_pad - t), (0, 0), (0, 0)])
+    xf = _ct2f_kernel_call(v, n_fft, window, g, kf, interpret)
+    sig = overlap_add_perm_flat(xf, n_fft, hop, t)
+    return sig.reshape(*lead, sig.shape[-1])
 
 
 def overlap_add_perm(xp: Array, n_fft: int, hop: int) -> Array:
@@ -290,21 +389,13 @@ def irdft_ct2(
     window: Array | None = None,
     impl: str = "xla",
 ) -> Array:
-    """Drop-in inverse-DFT-of-frames in the ct2 PERMUTED output layout.
+    """Inverse-DFT-of-frames in the ct2 PERMUTED output layout, as XLA
+    einsums (the A/B arm; the production Pallas path is
+    :func:`istft_ct2_fused`, which never builds the bins-major layout).
 
     ``re, im (..., T, n_bins)`` → ``(..., N1, T, n2)`` permuted frames
     (feed to :func:`overlap_add_perm`, not :func:`ops.stft.overlap_add`).
-    ``impl``: "xla" | "pallas" | "pallas_interpret".
     """
+    assert impl == "xla", "pallas path moved to istft_ct2_fused"
     v = ct2_layout(re, im, n_fft, re.shape[-1])
-    if impl == "xla":
-        return _stages_xla(v, n_fft, window)
-    lead = v.shape[:-3]
-    t = v.shape[-1]
-    t_pad = -(-t // N1) * N1
-    v = v.reshape(-1, *v.shape[-3:])
-    if t_pad != t:
-        v = jnp.pad(v, [(0, 0), (0, 0), (0, 0), (0, t_pad - t)])
-    x = _stages_pallas(v, n_fft, window, interpret=(impl == "pallas_interpret"))
-    x = x[:, :, :t, :]
-    return x.reshape(*lead, N1, t, x.shape[-1])
+    return _stages_xla(v, n_fft, window)

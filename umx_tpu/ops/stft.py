@@ -122,8 +122,11 @@ def stft(x: Array, cfg: DSPConfig) -> Array:
 def _resolve_istft_algo(cfg: DSPConfig) -> str:
     algo = getattr(cfg, "istft_algo", "auto")
     if algo == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        return "ct2" if on_tpu and cfg.n_fft % 1024 == 0 else "dense"
+        # ct2 stays opt-in until the fused natural-layout kernel is
+        # measured faster on-chip: the first ct2 design's bins-major
+        # relayout alone costs 12.6 ms (scripts/ct2_decompose_probe.py)
+        # — as much as the whole dense iSTFT it was meant to replace.
+        return "dense"
     return algo
 
 
@@ -143,9 +146,15 @@ def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     if algo != "dense":
         from umx_tpu.ops import istft_ct
 
-        impl = {"ct2": "pallas", "ct2_xla": "xla", "ct2_interpret": "pallas_interpret"}[algo]
-        xp = istft_ct.irdft_ct2(re, im, cfg.n_fft, window=win, impl=impl)
-        sig = istft_ct.overlap_add_perm(xp, cfg.n_fft, cfg.hop)
+        if algo in ("ct2", "ct2_interpret"):
+            # fused natural-layout Pallas kernel (no relayout anywhere)
+            sig = istft_ct.istft_ct2_fused(
+                re, im, cfg.n_fft, cfg.hop, window=win,
+                interpret=(algo == "ct2_interpret"),
+            )
+        else:  # ct2_xla — the einsum A/B arm (bins-major layout + permuted OLA)
+            xp = istft_ct.irdft_ct2(re, im, cfg.n_fft, window=win, impl="xla")
+            sig = istft_ct.overlap_add_perm(xp, cfg.n_fft, cfg.hop)
     else:
         if _use_matmul_fft(cfg):
             frames = mxu_fft.irdft(
