@@ -72,51 +72,18 @@ def main() -> int:
     def report(name, s):
         print(f"{name:>12}: {s*1e3:8.2f} ms")
 
-    # A. natural-layout fold (vstack) alone — elementwise+pad, no transpose
-    f_vstack = jax.jit(lambda re, im: istft_ct.ct2f_vstack(re, im, n_fft))
-    try:
-        report("vstack", timeit(f_vstack, sre, sim))
-    except Exception as e:  # noqa: BLE001
-        print(f"vstack FAILED {type(e).__name__}: {str(e)[:160]}")
-
-    # B. fused kernel from pre-stacked v, per (g, kf) tiling
-    v = jax.block_until_ready(f_vstack(sre, sim))
-    v4 = v.reshape(-1, *v.shape[-3:])
-    for g, kf in ((4, 8), (8, 8), (4, 16), (2, 8)):
-        t_pad = -(-T // kf) * kf
-        vp = jnp.pad(v4, [(0, 0), (0, t_pad - T), (0, 0), (0, 0)])
-        vp = jax.block_until_ready(vp)
+    # A/B. fully-fused kernel (assembly + stages + in-kernel OLA) per kf
+    for kf in (8, 16, 32):
         f_k = jax.jit(
             functools.partial(
-                istft_ct._ct2f_kernel_call,
-                n_fft=n_fft, window=win, g=g, kf=kf, interpret=False,
+                istft_ct.istft_ct2_fused,
+                n_fft=n_fft, hop=dcfg.hop, window=win, kf=kf, interpret=False,
             )
         )
         try:
-            report(f"kern[g{g},kf{kf}]", timeit(f_k, vp))
+            report(f"fused[kf{kf}]", timeit(f_k, sre, sim))
         except Exception as e:  # noqa: BLE001
-            print(f"kern[g{g},kf{kf}] FAILED {type(e).__name__}: {str(e)[:200]}")
-
-    # C. permuted-flat OLA + un-permute alone
-    try:
-        t_pad = -(-T // 8) * 8
-        vp = jax.block_until_ready(
-            jnp.pad(v4, [(0, 0), (0, t_pad - T), (0, 0), (0, 0)])
-        )
-        xf = jax.block_until_ready(
-            jax.jit(
-                functools.partial(
-                    istft_ct._ct2f_kernel_call,
-                    n_fft=n_fft, window=win, g=4, kf=8, interpret=False,
-                )
-            )(vp)
-        )
-        f_ola = jax.jit(
-            lambda x: istft_ct.overlap_add_perm_flat(x, n_fft, dcfg.hop, T)
-        )
-        report("ola_flat", timeit(f_ola, xf))
-    except Exception as e:  # noqa: BLE001
-        print(f"ola_flat FAILED {type(e).__name__}: {str(e)[:200]}")
+            print(f"fused[kf{kf}] FAILED {type(e).__name__}: {str(e)[:200]}")
 
     # D/E. e2e istft
     import dataclasses

@@ -73,11 +73,11 @@ class TestCT2Stages:
         got = istft_ct.istft_ct2_fused(re, im, 4096, 1024, window=None, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-    def test_fused_group_sizes_agree(self):
+    def test_fused_block_sizes_agree(self):
         re, im = _random_planes(t=24, seed=5)
-        a = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=4, kf=8, interpret=True)
-        b = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=8, kf=8, interpret=True)
-        c = istft_ct.istft_ct2_fused(re, im, 4096, 1024, g=2, kf=4, interpret=True)
+        a = istft_ct.istft_ct2_fused(re, im, 4096, 1024, kf=16, interpret=True)
+        b = istft_ct.istft_ct2_fused(re, im, 4096, 1024, kf=8, interpret=True)
+        c = istft_ct.istft_ct2_fused(re, im, 4096, 1024, kf=4, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
 

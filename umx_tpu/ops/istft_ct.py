@@ -155,175 +155,52 @@ def _dot0(m, x):
 
 
 # ---------------------------------------------------------------------------
-# Fused natural-layout kernel (round 3, second design)
+# Fully-fused natural-layout kernel (round 3, third design)
 #
-# The first design required the spectra in bins-major layout; the
-# (T, 2C, N1) -> (2C, N1, T) relayout alone measured 12.6 ms on-chip —
-# as much as the whole dense iSTFT (scripts/ct2_decompose_probe.py).
-# This kernel consumes the planes in their NATURAL (T-major, F-lanes)
-# layout and keeps every tensor in a pinned layout end to end:
+# On-chip decomposition of the second design (ct2_decompose_probe):
+# the XLA "vstack" fold cost 14.3 ms (the (T, 2176) -> (T, 17, 128)
+# reshape is a relayout), the flat permuted OLA cost 14.0 ms (its
+# 128-byte lane shifts are below the 512-byte DMA granule), and the
+# block-diagonal stage-1 wasted g x MACs.  All three die together by
+# moving EVERYTHING into one kernel:
 #
-# * the (re, im) planes are fold-weighted, bin-padded to 17*128, and
-#   stacked to (..., T, 40, 128) rows [vre(17); vim(17); 0(6)] — all
-#   elementwise/pad ops, no transpose; 40 rows keep the sublane tiling
-#   8-aligned so the global (T*40, 128) flattening is free;
-# * stage 1 contracts the 40 stacked bin rows of g frames at once with a
-#   BLOCK-DIAGONAL (g*40, g*32) constant: out (128 e-rows, g*32 (f,a)
-#   lanes).  The g x MAC waste of the zero blocks is the price of
-#   keeping frames batched through one MXU pass from the natural layout
-#   (per-frame dots are issue-bound: ~20k frames x ~200 cycles);
-# * twiddle is 2D elementwise against (128, g*32)-tiled constants;
-# * stage 2 is a dense (128,128) @ (128, g*32) pair per group — e rows
-#   in, b' rows out — with the synthesis window folded in;
-# * groups write static lane slices of a flat (128, K_f*32) block into
-#   the global (B, 128, Tpad*32) PERMUTED-FLAT frame tensor: sample
-#   n = 32 b' + a of frame t lives at [b', t*32 + a].
+# * the kernel reads the RAW (re, im) planes in natural (kf, 2049)
+#   full-lane blocks (the proven Wiener-kernel block shape) — the only
+#   XLA prep is halving the two Nyquist-fold columns and zero-padding
+#   the frame axis;
+# * a VMEM scratch assembly re-tiles each block to bins-major
+#   (34, kf*128) via static (1, 128) row copies — the copies ARE the
+#   layout change, at VMEM speed, so stage 1 is one DENSE
+#   (34, kf*128) @ (34, 32) dot pair per block: zero block-diag waste
+#   (the 2/n_fft fold weight lives inside the stage-1 constants);
+# * twiddle is tiled-2D elementwise on (kf*128, 32);
+# * a second scratch re-tiles T to (128, kf*32) via per-frame (128, 32)
+#   tile copies, making stage 2 one dense (128, 128) @ (128, kf*32)
+#   pair with the synthesis window folded in;
+# * the OVERLAP-ADD happens in-kernel: a (32, (kf+3)*32) sliding
+#   slot-window scratch accumulates each frame's four hop pieces
+#   (static (32, 32) vreg adds), shifts by kf slots per grid step, and
+#   writes each completed window once — the 338 MB frames tensor never
+#   exists; the kernel's output IS the hop-slot-packed signal
+#   (B, 32, H*32) with sample hop*h + 32*b2 + a at [b2, h*32 + a].
 #
-# Overlap-add then runs IN the permuted-flat domain: hop = 1024 = 32*32
-# means piece u of a frame is the contiguous row slice [32u, 32u+32),
-# and a one-hop shift is a 32*32-element (4 KiB, DMA-granule-aligned)
-# lane shift — so OLA is 4 static row-slices + lane pads + adds.  Only
-# the summed signal (~n_fft/hop x smaller than the frames) pays the one
-# unavoidable relayout back to time order.
+# Only that ~10x-smaller signal pays the one unavoidable relayout back
+# to time order (XLA transpose of (32, H, 32) -> (H, 32, 32)).
 # ---------------------------------------------------------------------------
-
-_C_PAD = 3  # zero rows appended to the 2*17 stacked bin rows -> 40 (8 | 40)
 
 
 @functools.lru_cache(maxsize=4)
-def _ct2f_consts_np(n_fft: int, g: int):
+def _ct2f_consts_np(n_fft: int):
     n2 = _n2(n_fft)
     c_rows = _c_rows(n_fft)
-    rows = 2 * c_rows + 2 * _C_PAD  # 40 at n_fft=4096
     wstack, twc, tws, c2, s2 = _ct2_consts_np(n_fft)
-    c1 = wstack[:c_rows, :n2]  # cos(2pi c a / n2)
-    s1 = wstack[:c_rows, n2 : 2 * n2]  # sin
-    zero = np.zeros((2 * _C_PAD, n2), np.float32)
-    w1re = np.concatenate([c1, -s1, zero])  # (40, 32): U_re rows
-    w1im = np.concatenate([s1, c1, zero])  # (40, 32): U_im rows
-    f32 = np.float32
-
-    def bd(m):  # block-diagonal over the g frames of a group
-        out = np.zeros((g * rows, g * m.shape[1]), f32)
-        for i in range(g):
-            out[i * rows : (i + 1) * rows, i * m.shape[1] : (i + 1) * m.shape[1]] = m
-        return out
-
-    return (
-        bd(w1re),
-        bd(w1im),
-        np.tile(twc, (1, g)).astype(f32),  # (128, g*32)
-        np.tile(tws, (1, g)).astype(f32),
-        c2,  # (128, 128) cos(2pi e b / 128)
-        s2,
-    )
-
-
-def ct2f_vstack(re: Array, im: Array, n_fft: int) -> Array:
-    """Natural-layout fold: planes (..., T, n_bins) -> (..., T, 40, 128).
-
-    Pure elementwise + pad + free reshapes — NO transpose (the whole
-    point of this formulation)."""
-    c_rows = _c_rows(n_fft)
-    n_bins = re.shape[-1]
-    assert n_bins == n_fft // 2 + 1
-    lead = re.shape[:-2]
-    t = re.shape[-2]
-    w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
-    w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
-    pad = c_rows * N1 - n_bins
-    widths = [(0, 0)] * len(lead) + [(0, 0), (0, pad)]
-    vre = jnp.pad(re.astype(jnp.float32) * w, widths).reshape(*lead, t, c_rows, N1)
-    vim = jnp.pad(im.astype(jnp.float32) * w, widths).reshape(*lead, t, c_rows, N1)
-    zeros = jnp.zeros((*lead, t, 2 * _C_PAD, N1), jnp.float32)
-    return jnp.concatenate([vre, vim, zeros], axis=-2)  # (..., T, 40, 128)
-
-
-def _ct2f_kernel_call(
-    v: Array, n_fft: int, window: Array | None, g: int, kf: int, interpret: bool
-) -> Array:
-    """v (B, Tpad, 40, 128) natural-stacked -> permuted-flat frames
-    (B, 128, Tpad*32)."""
-    n2 = _n2(n_fft)
-    b_sz, t_pad, rows, n1 = v.shape
-    assert n1 == N1 and rows == 2 * _c_rows(n_fft) + 2 * _C_PAD
-    assert t_pad % kf == 0 and kf % g == 0
-    w1re, w1im, twc_g, tws_g, c2, s2 = (
-        jnp.asarray(m) for m in _ct2f_consts_np(n_fft, g)
-    )
-    if window is not None:
-        win2 = jnp.asarray(window, jnp.float32).reshape(N1, n2)
-    else:
-        win2 = jnp.ones((N1, n2), jnp.float32)
-    wgrid_g = jnp.tile(win2, (1, g))  # (128, g*32)
-
-    v2 = v.reshape(b_sz, t_pad * rows, N1)  # free: 8 | rows, lanes fixed
-    n_groups = kf // g
-    grid = (b_sz, t_pad // kf)
-    const = lambda shape: pl.BlockSpec(shape, lambda bi, ti: (0,) * len(shape))
-
-    def kernel(v_ref, w1re_ref, w1im_ref, twc_ref, tws_ref, c2_ref, s2_ref,
-               wg_ref, o_ref):
-        for gi in range(n_groups):
-            vg = v_ref[0, gi * g * rows : (gi + 1) * g * rows, :]  # (g*40, 128)
-            ure = _dot0(vg, w1re_ref[...])  # (128 e, g*32 (f,a))
-            uim = _dot0(vg, w1im_ref[...])
-            tre = ure * twc_ref[...] - uim * tws_ref[...]
-            tim = ure * tws_ref[...] + uim * twc_ref[...]
-            xg = _dot0(c2_ref[...], tre) - _dot0(s2_ref[...], tim)  # (128 b, g*32)
-            o_ref[0, :, gi * g * n2 : (gi + 1) * g * n2] = xg * wg_ref[...]
-
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, kf * rows, N1), lambda bi, ti: (bi, ti, 0)),
-            const(w1re.shape),
-            const(w1im.shape),
-            const(twc_g.shape),
-            const(tws_g.shape),
-            const(c2.shape),
-            const(s2.shape),
-            const(wgrid_g.shape),
-        ],
-        out_specs=pl.BlockSpec((1, N1, kf * n2), lambda bi, ti: (bi, 0, ti)),
-        out_shape=jax.ShapeDtypeStruct((b_sz, N1, t_pad * n2), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
-        interpret=interpret,
-    )(v2, w1re, w1im, twc_g, tws_g, c2, s2, wgrid_g)
-
-
-def overlap_add_perm_flat(xf: Array, n_fft: int, hop: int, t: int) -> Array:
-    """Overlap-add + un-permute from the permuted-flat frame tensor.
-
-    xf (..., N1, Tpad*n2) with sample ``n2*b' + a`` of frame ``t`` at
-    ``[..., b', t*n2 + a]`` -> signal (..., (t-1)*hop + n_fft).
-
-    All OLA arithmetic stays in the permuted domain: piece u of a frame
-    is the contiguous row slice [pb*u, pb*u+pb), and the frame axis is
-    n2-element groups of lanes, so the hop shift is a lane pad by a
-    multiple of n2*pb... strictly: slot h receives piece u of frame
-    h - u, i.e. row-block u shifted u frames right.  Only the summed
-    signal — n_fft/hop x smaller than the frames — pays the final
-    relayout to time order."""
-    n2 = _n2(n_fft)
-    pieces = n_fft // hop
-    pb = N1 // pieces  # rows per hop piece (32)
-    assert pb * n2 == hop
-    lead = xf.shape[:-2]
-    nl = len(lead)
-    xf = xf[..., : t * n2]  # crop padded frames
-    total = None
-    for u in range(pieces):
-        sl = xf[..., u * pb : (u + 1) * pb, :]  # (..., pb, t*n2)
-        sl = jnp.pad(sl, [(0, 0)] * nl + [(0, 0), (u * n2, (pieces - 1 - u) * n2)])
-        total = sl if total is None else total + sl
-    h = t + pieces - 1  # hop slots
-    # total (..., pb, h*n2): slot h2's samples hop*h2 + n2*b2 + a at
-    # [..., b2, h2*n2 + a].  Un-permute: -> (..., h, pb, n2) -> flat.
-    s3 = total.reshape(*lead, pb, h, n2)
-    s3 = jnp.moveaxis(s3, -3, -2)  # (..., h, pb, n2)
-    return s3.reshape(*lead, h * hop)
+    scale = 2.0 / n_fft  # fold weight, folded into stage 1 (Nyquist
+    # columns are pre-halved by the caller)
+    c1 = wstack[:c_rows, :n2] * scale
+    s1 = wstack[:c_rows, n2 : 2 * n2] * scale
+    w1re = np.concatenate([c1, -s1]).astype(np.float32)  # (34, 32)
+    w1im = np.concatenate([s1, c1]).astype(np.float32)
+    return w1re, w1im, twc, tws, c2, s2
 
 
 def istft_ct2_fused(
@@ -332,24 +209,140 @@ def istft_ct2_fused(
     n_fft: int,
     hop: int,
     window: Array | None = None,
-    g: int = 4,
-    kf: int = 8,
+    kf: int = 16,
     interpret: bool = False,
 ) -> Array:
-    """Natural-layout fused CT iSTFT: planes (..., T, n_bins) -> raw
-    overlap-added signal (..., (T-1)*hop + n_fft) — the drop-in
+    """Fully-fused natural-layout CT iSTFT: planes (..., T, n_bins) ->
+    raw overlap-added signal (..., (T-1)*hop + n_fft) — the drop-in
     replacement for irdft+overlap_add (window folded; the caller still
     divides by the window-sumsquare envelope)."""
+    n2 = _n2(n_fft)
+    c_rows = _c_rows(n_fft)
+    pieces = n_fft // hop
+    pb = N1 // pieces
+    assert pb * n2 == hop, "ct2 fused OLA requires hop == n_fft/4"
+    assert kf >= pieces
     lead = re.shape[:-2]
     t = re.shape[-2]
-    v = ct2f_vstack(re, im, n_fft)  # (..., T, 40, 128)
-    v = v.reshape(-1, *v.shape[-3:])
-    t_pad = -(-t // kf) * kf
-    if t_pad != t:
-        v = jnp.pad(v, [(0, 0), (0, t_pad - t), (0, 0), (0, 0)])
-    xf = _ct2f_kernel_call(v, n_fft, window, g, kf, interpret)
-    sig = overlap_add_perm_flat(xf, n_fft, hop, t)
-    return sig.reshape(*lead, sig.shape[-1])
+    n_bins = re.shape[-1]
+    assert n_bins == n_fft // 2 + 1
+
+    w1re, w1im, twc, tws, c2, s2 = (
+        jnp.asarray(m) for m in _ct2f_consts_np(n_fft)
+    )
+    twc_t = jnp.tile(twc, (kf, 1))  # (kf*128, 32), row-tiled per frame
+    tws_t = jnp.tile(tws, (kf, 1))
+    if window is not None:
+        win2 = jnp.asarray(window, jnp.float32).reshape(N1, n2)
+    else:
+        win2 = jnp.ones((N1, n2), jnp.float32)
+    wgrid = jnp.tile(win2, (1, kf))  # (128, kf*32)
+
+    # the 2/n_fft fold lives in the stage-1 constants; bins 0 and
+    # Nyquist carry weight 1/n_fft -> halve those two lane columns
+    half = jnp.ones((n_bins,), jnp.float32).at[0].set(0.5).at[-1].set(0.5)
+    reb = (re.astype(jnp.float32) * half).reshape(-1, t, n_bins)
+    imb = (im.astype(jnp.float32) * half).reshape(-1, t, n_bins)
+    b_sz = reb.shape[0]
+
+    n_steps = -(-(t + pieces - 1) // kf) + 1
+    t_pad = n_steps * kf
+    reb = jnp.pad(reb, [(0, 0), (0, t_pad - t), (0, 0)])
+    imb = jnp.pad(imb, [(0, 0), (0, t_pad - t), (0, 0)])
+
+    w_slots = kf + pieces - 1  # sliding slot window
+    carry = pieces - 1
+
+    def kernel(re_ref, im_ref, w1re_ref, w1im_ref, twc_ref, tws_ref,
+               c2_ref, s2_ref, wg_ref, o_ref, vbins, t2re, t2im, pwin):
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            pwin[...] = jnp.zeros_like(pwin)
+
+        # completed window [(ti-1)*kf, ti*kf) -> output block ti-1
+        # (step 0 writes zeros to block 0; step 1 revisits it with data)
+        o_ref[0] = pwin[:, : kf * n2]
+        # slide the window kf slots left
+        pwin[:, : carry * n2] = pwin[:, kf * n2 : w_slots * n2]
+        pwin[:, carry * n2 :] = jnp.zeros((pb, kf * n2), jnp.float32)
+
+        # ---- assembly: natural (kf, n_bins) -> bins-major (34, kf*128)
+        # the last bin chunk is partial (lane 2048 only): zero its rows
+        vbins[c_rows - 1 : c_rows, :] = jnp.zeros((1, kf * N1), jnp.float32)
+        vbins[2 * c_rows - 1 : 2 * c_rows, :] = jnp.zeros((1, kf * N1), jnp.float32)
+        for f in range(kf):
+            for c in range(c_rows - 1):
+                vbins[c : c + 1, f * N1 : (f + 1) * N1] = re_ref[
+                    0, f : f + 1, c * N1 : (c + 1) * N1
+                ]
+                vbins[c_rows + c : c_rows + c + 1, f * N1 : (f + 1) * N1] = im_ref[
+                    0, f : f + 1, c * N1 : (c + 1) * N1
+                ]
+            c = c_rows - 1
+            vbins[c : c + 1, f * N1 : f * N1 + 1] = re_ref[
+                0, f : f + 1, c * N1 : c * N1 + 1
+            ]
+            vbins[c_rows + c : c_rows + c + 1, f * N1 : f * N1 + 1] = im_ref[
+                0, f : f + 1, c * N1 : c * N1 + 1
+            ]
+
+        # ---- stage 1 (dense) + twiddle: rows (f, e), lanes a
+        ure = _dot0(vbins[...], w1re_ref[...])  # (kf*128, 32)
+        uim = _dot0(vbins[...], w1im_ref[...])
+        tre = ure * twc_ref[...] - uim * tws_ref[...]
+        tim = ure * tws_ref[...] + uim * twc_ref[...]
+
+        # ---- re-tile T to (128 e, kf*32 (f,a)) via per-frame tile copies
+        for f in range(kf):
+            t2re[:, f * n2 : (f + 1) * n2] = tre[f * N1 : (f + 1) * N1, :]
+            t2im[:, f * n2 : (f + 1) * n2] = tim[f * N1 : (f + 1) * N1, :]
+
+        # ---- stage 2 (dense) + window: rows b', lanes (f, a)
+        xg = _dot0(c2_ref[...], t2re[...]) - _dot0(s2_ref[...], t2im[...])
+        xg = xg * wg_ref[...]
+
+        # ---- in-kernel OLA: piece u of local frame f -> slot f+u
+        for f in range(kf):
+            for u in range(pieces):
+                s0 = (f + u) * n2
+                pwin[:, s0 : s0 + n2] += xg[u * pb : (u + 1) * pb, f * n2 : (f + 1) * n2]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_sz, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, kf, n_bins), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, kf, n_bins), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec(w1re.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(w1im.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(twc_t.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(tws_t.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(c2.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(s2.shape, lambda bi, ti: (0, 0)),
+            pl.BlockSpec(wgrid.shape, lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pb, kf * n2), lambda bi, ti: (bi, 0, jnp.maximum(ti - 1, 0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_sz, pb, t_pad * n2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * c_rows, kf * N1), jnp.float32),
+            pltpu.VMEM((N1, kf * n2), jnp.float32),
+            pltpu.VMEM((N1, kf * n2), jnp.float32),
+            pltpu.VMEM((pb, w_slots * n2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(reb, imb, w1re, w1im, twc_t, tws_t, c2, s2, wgrid)
+
+    # out (B, pb, Tpad*n2): slot h's samples hop*h + n2*b2 + a at
+    # [b2, h*n2 + a].  The signal is (T + pieces - 1) slots long.
+    h = t + pieces - 1
+    sig = out[:, :, : h * n2].reshape(b_sz, pb, h, n2)
+    sig = jnp.moveaxis(sig, -3, -2).reshape(b_sz, h * hop)
+    return sig.reshape(*lead, h * hop)
 
 
 def overlap_add_perm(xp: Array, n_fft: int, hop: int) -> Array:
