@@ -223,6 +223,15 @@ def main() -> int:
         elif variant in ("ct2", "ct2_xla", "ct2_interpret"):
             # Cooley-Tukey iSTFT ("ct2" = fused Pallas kernels, TPU only)
             vcfg = cfg.replace(dsp=dataclasses.replace(dcfg, istft_algo=variant))
+        elif variant == "idft_default":
+            # single-pass bf16 inverse transform (the TPU auto default)
+            vcfg = cfg.replace(
+                dsp=dataclasses.replace(dcfg, idft_precision="default")
+            )
+        elif variant == "idft_high":
+            vcfg = cfg.replace(
+                dsp=dataclasses.replace(dcfg, idft_precision="high")
+            )
         elif variant == "em2":
             vcfg = cfg.replace(
                 wiener=dataclasses.replace(cfg.wiener, iterations=2)

@@ -177,15 +177,23 @@ def main() -> int:
         macs_ct2 = S * 2 * T * (2 * c_rows * n1 * n2 + 2 * n1 * n1 * n2)
         for algo, macs in (
             ("dense", macs_dense),
+            ("dense@default", macs_dense),
+            ("dense@highest", macs_dense),
             ("ct", macs_ct),
             ("ct2_xla", macs_ct2),
             ("ct2", macs_ct2),
         ):
             if algo.startswith("ct2"):
                 c = dataclasses.replace(dcfg, fft_impl="matmul", istft_algo=algo)
+            elif "@" in algo:
+                prec = algo.split("@")[1]
+                c = dataclasses.replace(
+                    dcfg, fft_impl="matmul", istft_algo="dense", idft_precision=prec
+                )
             else:
                 c = dataclasses.replace(
-                    dcfg, fft_impl="matmul", dft_algo=algo, istft_algo="dense"
+                    dcfg, fft_impl="matmul", dft_algo=algo, istft_algo="dense",
+                    idft_precision="high",
                 )
             fn = jax.jit(
                 lambda re, im, c=c: stft_ops.istft_planes(re, im, n, c)

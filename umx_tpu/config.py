@@ -41,13 +41,20 @@ class DSPConfig:
     dft_algo: Literal["dense", "ct"] = "dense"
     # INVERSE-transform algorithm (the iSTFT is 4x the forward's work —
     # one inverse per target).  "dense" = window-folded dense matmul-DFT;
-    # "ct2" = the fused Pallas Cooley-Tukey path (ops/istft_ct.py):
-    # layout-static two-stage factorization + permuted-domain overlap-add,
-    # ~12x fewer MACs (13.8 -> 3.6 ms per segment on v5e, PERF.md);
-    # "ct2_xla" = same factorization as XLA einsums (A/B arm);
-    # "ct2_interpret" = Pallas interpreter (CPU tests).  "auto" = ct2 on
-    # TPU when the shape qualifies (1024 | n_fft), dense elsewhere.
+    # "ct2" = the fused Pallas Cooley-Tukey kernel (ops/istft_ct.py) —
+    # a measured NEGATIVE result on v5e (19.6 vs dense 13.9 ms: the
+    # in-kernel layout-assembly copies eat the 12x MAC saving; kept as
+    # an A/B arm); "ct2_xla" = the factorization as XLA einsums;
+    # "ct2_interpret" = Pallas interpreter (CPU tests).  "auto" = dense.
     istft_algo: Literal["auto", "dense", "ct2", "ct2_xla", "ct2_interpret"] = "auto"
+    # Matmul precision for the INVERSE transform only.  The iSTFT is
+    # downstream of the mask/Wiener math, so its rounding adds plain
+    # output noise: single-pass bf16 ("default") injects ~2.3e-3
+    # relative (~-52 dB) — a <=0.01 dB SDR perturbation, the same class
+    # as the network's shipped default path — while tripling iDFT MXU
+    # throughput vs the 3-pass "high".  "auto" = "default" on TPU,
+    # dft_precision elsewhere (CPU matmuls are true fp32 regardless).
+    idft_precision: Literal["auto", "default", "high", "highest"] = "auto"
 
     @property
     def n_bins(self) -> int:

@@ -130,6 +130,17 @@ def _resolve_istft_algo(cfg: DSPConfig) -> str:
     return algo
 
 
+def _resolve_idft_precision(cfg: DSPConfig) -> str:
+    prec = getattr(cfg, "idft_precision", "auto")
+    if prec == "auto":
+        # On TPU, single-pass bf16 triples the iDFT's MXU throughput and
+        # its ~-52 dB rounding noise is a <=0.01 dB SDR perturbation
+        # (PARITY.md idft row) — the same accepted class as the
+        # network's default path.  CPU matmuls are fp32 at any setting.
+        return "default" if jax.default_backend() not in ("cpu",) else cfg.dft_precision
+    return prec
+
+
 def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     """Inverse STFT from (re, im) planes → (..., n_samples).
 
@@ -137,9 +148,8 @@ def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     (ops/fft.py irdft ``window=``) instead of a separate full-frame
     multiply pass — the reference multiplies post-iFFT (dsp.cpp:178-258).
 
-    On TPU the inverse transform + overlap-add run the fused Cooley-Tukey
-    path (cfg.istft_algo, ops/istft_ct.py) — 12x fewer MACs than the
-    dense matmul-DFT with overlap-add in the permuted domain."""
+    The inverse matmuls run at ``cfg.idft_precision`` (default on TPU:
+    single-pass bf16 — see :func:`_resolve_idft_precision`)."""
     n_frames = re.shape[-2]
     win = hann_window(cfg.n_fft)
     algo = _resolve_istft_algo(cfg) if _use_matmul_fft(cfg) else "dense"
@@ -158,7 +168,8 @@ def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     else:
         if _use_matmul_fft(cfg):
             frames = mxu_fft.irdft(
-                re, im, cfg.n_fft, cfg.dft_precision, cfg.dft_algo, window=win
+                re, im, cfg.n_fft, _resolve_idft_precision(cfg), cfg.dft_algo,
+                window=win,
             )
         else:
             spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
