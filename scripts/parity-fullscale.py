@@ -232,6 +232,20 @@ def main() -> int:
             vcfg = cfg.replace(
                 dsp=dataclasses.replace(dcfg, idft_precision="high")
             )
+        elif variant == "wiener_bf16":
+            vcfg = cfg.replace(
+                wiener=dataclasses.replace(cfg.wiener, out_dtype="bfloat16")
+            )
+        elif variant == "wiener_f32":
+            vcfg = cfg.replace(
+                wiener=dataclasses.replace(cfg.wiener, out_dtype="float32")
+            )
+        elif variant == "dft_default":
+            # single-pass bf16 FORWARD transform too (feeds the network
+            # input magnitudes and the Wiener phase — needs its own bound)
+            vcfg = cfg.replace(
+                dsp=dataclasses.replace(dcfg, dft_precision="default")
+            )
         elif variant == "em2":
             vcfg = cfg.replace(
                 wiener=dataclasses.replace(cfg.wiener, iterations=2)

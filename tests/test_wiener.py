@@ -162,6 +162,35 @@ def test_pallas_matches_einsum_two_iterations(spec_data):
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
 
 
+def test_pallas_bf16_output_dtype(spec_data):
+    """out_dtype='bfloat16' emits bf16 y planes from the FINAL apply
+    only (write-bandwidth trade, WienerConfig.out_dtype); values match
+    the f32 path within bf16 rounding."""
+    import jax.numpy as jnp
+
+    from umx_tpu.ops.wiener import wiener_filter_planes
+
+    mix, mags = spec_data
+    for iters in (1, 2):
+        cfg_p = dataclasses.replace(
+            WienerConfig(iterations=iters),
+            impl="pallas_interpret",
+            time_block=8,
+            out_dtype="bfloat16",
+        )
+        xre, xim = _planes(mix)
+        yre, yim = wiener_filter_planes(xre, xim, mags, cfg_p)
+        assert yre.dtype == jnp.bfloat16 and yim.dtype == jnp.bfloat16
+        cfg_f = dataclasses.replace(cfg_p, out_dtype="float32")
+        fre, fim = wiener_filter_planes(xre, xim, mags, cfg_f)
+        assert fre.dtype == jnp.float32
+        scale = float(np.abs(mix).max())
+        np.testing.assert_allclose(
+            np.asarray(yre, np.float32), np.asarray(fre),
+            atol=1e-2 * scale,
+        )
+
+
 def test_pallas_padding_shapes():
     # T and F far from lane/block multiples; padded bins must come back 0-free
     from umx_tpu.ops.wiener import wiener_filter, wiener_filter_planes

@@ -134,6 +134,14 @@ class WienerConfig:
     # scans' VMEM-resident weights (+16 ms measured at 136-row blocks);
     # 8-row blocks keep the kernels ~2 MB and the scans untouched.
     time_block: int = 8
+    # dtype of the EMITTED y planes (Pallas path only).  The y spectra
+    # feed straight into the iSTFT, whose TPU matmuls already run
+    # single-pass bf16 (DSPConfig.idft_precision) — so emitting bf16
+    # halves the apply kernel's dominant write traffic (340 -> 170 MB
+    # per 60 s segment) at the same output-noise class (~-58 dB,
+    # bounded by the PARITY wiener_bf16 row).  "auto" = bfloat16 on
+    # TPU, float32 elsewhere; the einsum path always emits float32.
+    out_dtype: Literal["auto", "float32", "bfloat16"] = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

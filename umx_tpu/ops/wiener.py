@@ -114,6 +114,17 @@ def _pallas_eligible(cfg: WienerConfig) -> bool:
     return cfg.impl == "auto" and jax.default_backend() not in ("cpu",)
 
 
+def _resolve_out_dtype(cfg: WienerConfig):
+    odt = getattr(cfg, "out_dtype", "auto")
+    if odt == "auto":
+        # bf16 y halves the apply kernel's dominant write traffic; its
+        # ~-58 dB output noise matches the TPU path's accepted class
+        # (PARITY.md wiener_bf16 row).  CPU keeps f32 (tests/oracles).
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return jnp.bfloat16 if on_tpu else jnp.float32
+    return jnp.dtype(odt)
+
+
 def wiener_filter_planes(
     xre: Array,
     xim: Array,
@@ -138,6 +149,7 @@ def wiener_filter_planes(
             cfg,
             time_block=cfg.time_block,
             interpret=cfg.impl == "pallas_interpret",
+            out_dtype=_resolve_out_dtype(cfg),
         )
     y = wiener_filter(jax.lax.complex(xre, xim), target_mags, cfg)
     return y.real, y.imag
@@ -166,6 +178,7 @@ def wiener_filter_masks(
             cfg,
             time_block=cfg.time_block,
             interpret=cfg.impl == "pallas_interpret",
+            out_dtype=_resolve_out_dtype(cfg),
         )
     from umx_tpu.engine.separator import masks_to_planes
 

@@ -196,15 +196,17 @@ def _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
     z1im = (c00 * x1im - (c01re * x0im - c01im * x0re)) * idet
 
     ma = 1.0 / inv_ma
+    odt = yre_ref.dtype  # f32, or bf16 when the caller trades write
+    # bandwidth for ~-58 dB output noise (WienerConfig.out_dtype)
     for s in range(n_sources):
         v = vs[s] * ma
         r00, r11 = r00s[s], r11s[s]
         r01re, r01im = r01res[s], r01ims[s]
         # y_s0 = v (R00 z0 + R01 z1); y_s1 = v (conj(R01) z0 + R11 z1)
-        yre_ref[s, 0] = v * (r00 * z0re + r01re * z1re - r01im * z1im)
-        yim_ref[s, 0] = v * (r00 * z0im + r01re * z1im + r01im * z1re)
-        yre_ref[s, 1] = v * (r01re * z0re + r01im * z0im + r11 * z1re)
-        yim_ref[s, 1] = v * (r01re * z0im - r01im * z0re + r11 * z1im)
+        yre_ref[s, 0] = (v * (r00 * z0re + r01re * z1re - r01im * z1im)).astype(odt)
+        yim_ref[s, 0] = (v * (r00 * z0im + r01re * z1im + r01im * z1re)).astype(odt)
+        yre_ref[s, 1] = (v * (r01re * z0re + r01im * z0im + r11 * z1re)).astype(odt)
+        yim_ref[s, 1] = (v * (r01re * z0im - r01im * z0re + r11 * z1im)).astype(odt)
 
 
 def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
@@ -242,7 +244,9 @@ def _make_apply_kernel(n_sources: int, from_mags: bool, eps: float, reg: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "time_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "time_block", "interpret", "out_dtype")
+)
 def wiener_planes_pallas(
     xre: Array,
     xim: Array,
@@ -250,13 +254,16 @@ def wiener_planes_pallas(
     cfg: WienerConfig,
     time_block: int = 8,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> tuple[Array, Array]:
     """EM-refined source estimates as (re, im) planes.
 
     xre/xim: (2, T, F) float32 mix spectrogram planes;
     target_mags: (S, 2, T, F) float32.  Returns (yre, yim) each
-    (S, 2, T, F) float32.  Implements ``psd="correct"`` semantics only
-    (the einsum path keeps the umxcpp PSD-quirk A/B flag).
+    (S, 2, T, F) in ``out_dtype`` (the FINAL apply's store dtype —
+    intermediate EM iterations always stay float32).  Implements
+    ``psd="correct"`` semantics only (the einsum path keeps the umxcpp
+    PSD-quirk A/B flag).
     """
     S, C, T, F = target_mags.shape
     assert C == 2, "wiener kernels are specialized to stereo"
@@ -281,6 +288,7 @@ def wiener_planes_pallas(
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     racc_shape = jax.ShapeDtypeStruct((4 * S, F), jnp.float32)
     y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
+    y_shape_out = jax.ShapeDtypeStruct((S, 2, Tp, F), out_dtype)
     params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
 
     def reduce_mags(xre_p, xim_p, mags_p):
@@ -305,42 +313,47 @@ def wiener_planes_pallas(
             interpret=interpret,
         )(yre, yim)
 
-    def apply_mags(racc):
+    def apply_mags(racc, oshape):
         return pl.pallas_call(
             _make_apply_kernel(S, True, float(cfg.eps), reg),
             grid=(n_blocks,),
             in_specs=[x_spec, x_spec, y_spec, racc_spec, scale_spec],
             out_specs=[y_spec, y_spec],
-            out_shape=[y_shape, y_shape],
+            out_shape=[oshape, oshape],
             compiler_params=params,
             interpret=interpret,
         )(xre_p, xim_p, mags_p, racc, inv_ma)
 
-    def apply_y(yre, yim, racc):
+    def apply_y(yre, yim, racc, oshape):
         return pl.pallas_call(
             _make_apply_kernel(S, False, float(cfg.eps), reg),
             grid=(n_blocks,),
             in_specs=[x_spec, x_spec, y_spec, y_spec, racc_spec, scale_spec],
             out_specs=[y_spec, y_spec],
-            out_shape=[y_shape, y_shape],
+            out_shape=[oshape, oshape],
             compiler_params=params,
             interpret=interpret,
         )(xre_p, xim_p, yre, yim, racc, inv_ma)
 
     racc = reduce_mags(xre_p, xim_p, mags_p)
-    yre, yim = apply_mags(racc)
-    for _ in range(cfg.iterations - 1):
+    last = cfg.iterations == 1
+    yre, yim = apply_mags(racc, y_shape_out if last else y_shape)
+    for it in range(cfg.iterations - 1):
         # later iterations read the previous y; rescale to the working
         # (divided-by-max_abs) frame first — apply emits y * max_abs
         yre_s = yre * inv_ma[0, 0]
         yim_s = yim * inv_ma[0, 0]
         racc = reduce_y(yre_s, yim_s)
-        yre, yim = apply_y(yre_s, yim_s, racc)
+        last = it == cfg.iterations - 2
+        yre, yim = apply_y(yre_s, yim_s, racc, y_shape_out if last else y_shape)
 
     return yre[:, :, :T], yim[:, :, :T]
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins", "cfg", "time_block", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bins", "cfg", "time_block", "interpret", "out_dtype"),
+)
 def wiener_planes_from_masks(
     xre: Array,
     xim: Array,
@@ -349,6 +362,7 @@ def wiener_planes_from_masks(
     cfg: WienerConfig,
     time_block: int = 8,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> tuple[Array, Array]:
     """EM-refined estimates straight from the NETWORK-LAYOUT masks.
 
@@ -397,6 +411,7 @@ def wiener_planes_from_masks(
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
     y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
+    y_shape_out = jax.ShapeDtypeStruct((S, 2, Tp, F), out_dtype)
 
     racc = pl.pallas_call(
         _make_reduce_kernel_masks(S),
@@ -407,18 +422,21 @@ def wiener_planes_from_masks(
         compiler_params=params,
         interpret=interpret,
     )(xre_p, xim_p, masks4, inv_ma)
+    last = cfg.iterations == 1
     yre, yim = pl.pallas_call(
         _make_apply_kernel_masks(S, float(cfg.eps), reg),
         grid=(n_blocks,),
         in_specs=[x_spec, x_spec, m_spec, racc_spec, scale_spec],
         out_specs=[y_spec, y_spec],
-        out_shape=[y_shape, y_shape],
+        out_shape=[y_shape_out if last else y_shape] * 2,
         compiler_params=params,
         interpret=interpret,
     )(xre_p, xim_p, masks4, racc, inv_ma)
 
-    for _ in range(cfg.iterations - 1):
+    for it in range(cfg.iterations - 1):
         # further EM iterations use the generic y-based kernels
+        # (intermediate y always float32; only the final apply emits
+        # out_dtype)
         yre_s = yre * inv_ma[0, 0]
         yim_s = yim * inv_ma[0, 0]
         racc = pl.pallas_call(
@@ -430,12 +448,13 @@ def wiener_planes_from_masks(
             compiler_params=params,
             interpret=interpret,
         )(yre_s, yim_s)
+        last = it == cfg.iterations - 2
         yre, yim = pl.pallas_call(
             _make_apply_kernel(S, False, float(cfg.eps), reg),
             grid=(n_blocks,),
             in_specs=[x_spec, x_spec, y_spec, y_spec, racc_spec, scale_spec],
             out_specs=[y_spec, y_spec],
-            out_shape=[y_shape, y_shape],
+            out_shape=[y_shape_out if last else y_shape] * 2,
             compiler_params=params,
             interpret=interpret,
         )(xre_p, xim_p, yre_s, yim_s, racc, inv_ma)
