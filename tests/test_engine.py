@@ -147,6 +147,27 @@ def test_fused_matches_host_loop_no_streaming(cfg, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+def test_bf16_fast_path_knobs_match_f32(cfg, audio):
+    """The round-3 TPU fast-path knobs (bf16 Wiener y emission + the
+    inverse-transform precision knob) run end-to-end and stay within
+    bf16 rounding of the fp32 engine output.  On CPU the idft precision
+    is a no-op (fp32 matmuls), so the delta isolates the bf16 y-plane
+    store rounding."""
+    params = synthetic_params(cfg.model, seed=0)
+    ref = Separator(params, cfg).demix_track(audio[:, :44100], seed=3)
+    c = dataclasses.replace(
+        cfg,
+        dsp=dataclasses.replace(cfg.dsp, idft_precision="default"),
+        wiener=dataclasses.replace(
+            cfg.wiener, impl="pallas_interpret", out_dtype="bfloat16"
+        ),
+    )
+    out = Separator(params, c).demix_track(audio[:, :44100], seed=3)
+    assert out.dtype == np.float32  # waves stay f32 regardless
+    peak = float(np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=2e-2 * peak)
+
+
 def test_multi_shift_averaging(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)
     s2 = Separator(params, dataclasses.replace(cfg, shifts=2))
