@@ -1,9 +1,23 @@
-"""Fused Cooley-Tukey iSTFT — the lane-efficient CT factorization.
+"""Fused Cooley-Tukey iSTFT — a CLOSED NEGATIVE RESULT kept as an A/B arm.
 
-Replaces the dense (2049, 4096) inverse-DFT matmul (ops/fft.py::irdft,
-semantics of reference src/dsp.cpp:178-258) with a two-stage CT
-factorization chosen so that, on TPU, *no tensor ever changes layout
-between the spectral input and the time-domain frames*:
+Round-3 verdict (scripts/ct2_decompose_probe.py, PERF.md): every
+formulation of the CT factorization is layout-bound on this chip and
+loses to the dense matmul-DFT at single-pass bf16 precision
+(istft[dense@default] 6.9 ms vs the best fused CT kernel 11.7 ms).
+The 12x MAC saving cannot be banked because the spectra arrive
+T-major/F-lanes and every route to a contractable layout costs more
+than the MACs saved: XLA bins-major transpose 12.6 ms, minor-split
+reshape 14.3 ms, sub-512-byte OLA lane shifts 14 ms, in-kernel VMEM
+assembly copies ~5+ ms (~700k single-vreg moves).  The shipped iSTFT
+is ops/stft.py istft_planes with ``idft_precision`` (PARITY.md bounds).
+
+This module preserves the working implementations as measurement /
+parity arms (``istft_algo="ct2" | "ct2_xla" | "ct2_interpret"``).
+
+The factorization replaces the dense (2049, 4096) inverse-DFT matmul
+(ops/fft.py::irdft, semantics of reference src/dsp.cpp:178-258) with a
+two-stage CT split chosen so that, on TPU, *no tensor ever changes
+layout between the spectral input and the time-domain frames*:
 
     k = N1*c' + e'      (bins:   c' in [0, C),  e' in [0, N1=128))
     n = N2*b' + a'      (time:   b' in [0, N1), a' in [0, N2=32))
