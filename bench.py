@@ -67,7 +67,11 @@ def main() -> int:
     streaming = os.environ.get("UMX_BENCH_STREAMING", "1") != "0"
     hidden = int(os.environ.get("UMX_BENCH_HIDDEN", "1024"))
     cfg = EngineConfig(
-        segment=SegmentConfig(segment_secs=seg_secs, streaming=streaming),
+        segment=SegmentConfig(
+            segment_secs=seg_secs,
+            streaming=streaming,
+            chunk_batch=int(os.environ.get("UMX_BENCH_CHUNK_BATCH", "4")),
+        ),
         use_wiener=use_wiener,
         matmul_precision=precision,
         ola_impl=os.environ.get("UMX_BENCH_OLA", "auto"),

@@ -241,10 +241,16 @@ def main() -> int:
                 wiener=dataclasses.replace(cfg.wiener, out_dtype="float32")
             )
         elif variant == "dft_default":
-            # single-pass bf16 FORWARD transform too (feeds the network
-            # input magnitudes and the Wiener phase — needs its own bound)
+            # single-pass bf16 FORWARD transform (the TPU auto default
+            # since round 3: feeds the network input magnitudes and the
+            # Wiener phase — bounded end-to-end by this row)
             vcfg = cfg.replace(
                 dsp=dataclasses.replace(dcfg, dft_precision="default")
+            )
+        elif variant == "dft_high":
+            # the precise A/B arm for the forward transform
+            vcfg = cfg.replace(
+                dsp=dataclasses.replace(dcfg, dft_precision="high")
             )
         elif variant == "em2":
             vcfg = cfg.replace(

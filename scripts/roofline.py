@@ -65,7 +65,7 @@ def main() -> int:
     T = dcfg.n_frames(n)
     F = dcfg.n_bins
     S = mcfg.n_targets
-    prec = dcfg.dft_precision
+    prec = stft_ops._resolve_dft_precision(dcfg)
     passes = PASSES[prec]
 
     print(

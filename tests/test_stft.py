@@ -205,6 +205,27 @@ def test_irdft_window_folding(cfg):
         np.testing.assert_allclose(folded, plain * np.asarray(win), atol=1e-5)
 
 
+def test_precision_auto_resolution(cfg):
+    """``dft_precision="auto"`` resolves to the 3-pass fp32-class path on
+    CPU (where matmuls are fp32 regardless, keeping the label honest) and
+    single-pass bf16 on accelerators (PARITY.md dft_default row bounds it
+    end-to-end at production shape).  Explicit settings pass through, and
+    the idft auto-resolution falls back to the forward resolver on CPU."""
+    import dataclasses
+
+    import jax
+
+    on_cpu = jax.default_backend() == "cpu"
+    assert stft_ops._resolve_dft_precision(cfg) == ("high" if on_cpu else "default")
+    for explicit in ("default", "high", "highest"):
+        c = dataclasses.replace(cfg, dft_precision=explicit)
+        assert stft_ops._resolve_dft_precision(c) == explicit
+    if on_cpu:
+        assert stft_ops._resolve_idft_precision(cfg) == "high"
+        c = dataclasses.replace(cfg, dft_precision="highest")
+        assert stft_ops._resolve_idft_precision(c) == "highest"
+
+
 def test_stft_ct_vs_dense_algo(cfg):
     import dataclasses
 

@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
         "high/highest = 3/6-pass fp32-class emulation at 3x/6x matmul cost",
     )
     p.add_argument(
+        "--dft-precision",
+        choices=("auto", "default", "high", "highest"),
+        default="auto",
+        help="forward-transform matmul precision (auto = single-pass "
+        "bf16 on TPU: stft 2.0 -> ~0.8 ms; it feeds the network input "
+        "and Wiener phase, bounded end-to-end at 45.3 dB below signal "
+        "— PARITY.md dft_default row; high = 3-pass fp32-class)",
+    )
+    p.add_argument(
         "--idft-precision",
         choices=("auto", "default", "high", "highest"),
         default="auto",
@@ -111,7 +120,10 @@ def _main(argv=None) -> int:
 
     cfg = EngineConfig(
         model=ModelConfig(input_scaling=args.input_scaling),
-        dsp=DSPConfig(idft_precision=args.idft_precision),
+        dsp=DSPConfig(
+            dft_precision=args.dft_precision,
+            idft_precision=args.idft_precision,
+        ),
         segment=SegmentConfig(
             segment_secs=args.segment_secs,
             overlap=args.overlap,

@@ -29,10 +29,15 @@ class DSPConfig:
     # TPU backends without an FFT op, and MXU-friendly regardless);
     # "auto" picks matmul on TPU, xla elsewhere.
     fft_impl: Literal["auto", "xla", "matmul"] = "auto"
-    # MXU precision for the matmul-DFT: "highest" = 6-pass fp32 emulation,
-    # "high" = 3-pass bf16 (~2x faster, ~1e-6 relative error — far inside
-    # the 1e-4 STFT tolerance), "default" = 1-pass bf16 (fastest, ~1e-3).
-    dft_precision: Literal["highest", "high", "default"] = "high"
+    # MXU precision for the FORWARD matmul-DFT: "highest" = 6-pass fp32
+    # emulation, "high" = 3-pass bf16 (~1e-6 relative error — far inside
+    # the 1e-4 STFT tolerance), "default" = 1-pass bf16 (3x faster,
+    # ~1e-3).  "auto" = "default" on TPU (stft 2.0 -> ~0.8 ms; the
+    # forward feeds the network magnitudes AND the Wiener phase, and the
+    # end-to-end bound is 45.3 dB below signal at production shape —
+    # the same accepted class as the network's default path, PARITY.md
+    # dft_default row), "high" elsewhere (CPU matmuls are fp32 anyway).
+    dft_precision: Literal["auto", "highest", "high", "default"] = "auto"
     # Matmul-DFT algorithm: "dense" = one (n_fft, n_bins) matmul pair;
     # "ct" = two-stage (128x32) Cooley-Tukey factorization — ~12x fewer
     # MXU FLOPs at the same accuracy class (ops/fft.py), but its
@@ -156,6 +161,13 @@ class SegmentConfig:
     # Whether LSTM h/c state carries across segments (the reference's
     # "streaming LSTM", umx.cpp:167-171 / lstm.cpp:82).
     streaming: bool = True
+    # Non-streaming fused tracks run segments in vmapped groups of this
+    # width (segments are independent without the state carry); batched
+    # rows fold into the batch-native BLSTM kernel's matmul rows,
+    # amortizing the recurrence's width-independent latency floor.
+    # Bounded by HBM (engine/memory.py models the per-segment batch
+    # curve: 16 fits, 32 OOMs at 60 s segments).
+    chunk_batch: int = 4
 
     def __post_init__(self):
         if not (0.0 <= self.overlap < 1.0):

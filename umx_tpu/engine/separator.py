@@ -123,10 +123,15 @@ def _device_cfg(cfg: EngineConfig) -> EngineConfig:
     recompile the entire fused-track program — minutes on a remote-compile
     backend — for an identical computation.
     """
+    # chunk_batch is canonicalized too: the parallel path receives it as
+    # its own static argument, so leaving it in the key would recompile
+    # streaming/segment programs that never read it.
     return dataclasses.replace(
         cfg,
         shifts=0,
-        segment=dataclasses.replace(cfg.segment, max_shift_secs=0.0),
+        segment=dataclasses.replace(
+            cfg.segment, max_shift_secs=0.0, chunk_batch=4
+        ),
     )
 
 
@@ -448,11 +453,11 @@ class Separator:
                 # chunk-batched program wins again now that the BLSTM
                 # kernel is batch-native (batched chunks fold into kernel
                 # matmul rows): 839× vs 698× sequential scan on a 420 s
-                # track; chunk_batch=4 is the sweet spot (8 regresses to
-                # 700×, PERF.md round-2 close).
+                # track (PERF.md round-2 close; width A/B'd in PERF.md
+                # round 3 — cfg.segment.chunk_batch picks the group).
                 out = demix_fused_parallel(
                     self.params, audio_p, cfg, n_chunks, seg, stride,
-                    chunk_batch=min(4, n_chunks),
+                    chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
                 )
             else:
                 out, _ = demix_fused(

@@ -107,7 +107,7 @@ def stft_planes(x: Array, cfg: DSPConfig) -> tuple[Array, Array]:
     frames = frame_signal(xp, cfg.n_fft, cfg.hop) * hann_window(cfg.n_fft)
     frames = frames.astype(jnp.float32)
     if _use_matmul_fft(cfg):
-        return mxu_fft.rdft(frames, cfg.n_fft, cfg.dft_precision, cfg.dft_algo)
+        return mxu_fft.rdft(frames, cfg.n_fft, _resolve_dft_precision(cfg), cfg.dft_algo)
     spec = jnp.fft.rfft(frames, axis=-1)
     return spec.real.astype(jnp.float32), spec.imag.astype(jnp.float32)
 
@@ -130,6 +130,21 @@ def _resolve_istft_algo(cfg: DSPConfig) -> str:
     return algo
 
 
+def _resolve_dft_precision(cfg: DSPConfig) -> str:
+    prec = getattr(cfg, "dft_precision", "auto")
+    if prec == "auto":
+        # On TPU, single-pass bf16 triples the forward DFT's MXU
+        # throughput (2.0 -> ~0.8 ms/segment).  The forward feeds the
+        # network input magnitudes and the Wiener phase reference, so
+        # its bound is measured END TO END: 45.3 dB below signal at
+        # production shape (PARITY.md dft_default row) — the same
+        # accepted class as the network's shipped default matmuls.
+        # CPU matmuls are fp32 at any setting; "high" keeps the label
+        # honest there.
+        return "default" if jax.default_backend() not in ("cpu",) else "high"
+    return prec
+
+
 def _resolve_idft_precision(cfg: DSPConfig) -> str:
     prec = getattr(cfg, "idft_precision", "auto")
     if prec == "auto":
@@ -137,7 +152,7 @@ def _resolve_idft_precision(cfg: DSPConfig) -> str:
         # its ~-52 dB rounding noise is a <=0.01 dB SDR perturbation
         # (PARITY.md idft row) — the same accepted class as the
         # network's default path.  CPU matmuls are fp32 at any setting.
-        return "default" if jax.default_backend() not in ("cpu",) else cfg.dft_precision
+        return "default" if jax.default_backend() not in ("cpu",) else _resolve_dft_precision(cfg)
     return prec
 
 
