@@ -207,6 +207,23 @@ def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
     np.testing.assert_allclose(out[..., :length], looped, atol=1e-5)
 
 
+def test_chunk_batch_config_width_equal(cfg, audio):
+    """SegmentConfig.chunk_batch (round 3) picks the non-streaming fused
+    group width; any width must produce the same stems as the host loop
+    (widths only regroup independent segments)."""
+    params = synthetic_params(cfg.model, seed=0)
+    base = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
+    )
+    looped = np.asarray(Separator(params, base).demix(audio, fused=False))
+    for cb in (1, 3):
+        c = dataclasses.replace(
+            base, segment=dataclasses.replace(base.segment, chunk_batch=cb)
+        )
+        out = np.asarray(Separator(params, c).demix(audio, fused=True))
+        np.testing.assert_allclose(out, looped, atol=1e-5)
+
+
 def test_batched_shifts_equal_sequential(cfg, audio):
     """shifts=N auto-batches the N shifted copies through one fused
     program; the result must equal the sequential per-pass host loop."""
