@@ -224,6 +224,46 @@ def test_chunk_batch_config_width_equal(cfg, audio):
         np.testing.assert_allclose(out, looped, atol=1e-5)
 
 
+def test_stream_groups_matches_scan_program(cfg, audio):
+    """The split-phase streaming program (pre/post batched per group,
+    ONLY the recurrence chained — the streaming fused default since
+    round 3) must reproduce the sequential lax.scan program exactly:
+    stems AND final streaming state, at every group width including
+    remainder groups and widths wider than the track."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from umx_tpu.engine.separator import (
+        demix_fused,
+        demix_fused_stream_groups,
+    )
+    from umx_tpu.models.umx import init_lstm_state
+
+    params = synthetic_params(cfg.model, seed=0)
+    seg = cfg.segment.segment_samples(44100)
+    stride = cfg.segment.stride_samples(44100)
+    length = audio.shape[1]
+    n = max(1, math.ceil(length / stride))  # 4 chunks for the 2.5 s fixture
+    padded = (n - 1) * stride + seg
+    audio_p = jnp.pad(jnp.asarray(audio, jnp.float32), ((0, 0), (0, padded - length)))
+
+    # donate_argnums on the state: give each call its own fresh state
+    ref, ref_st = demix_fused(
+        params, audio_p, init_lstm_state(cfg.model), cfg, n, seg, stride
+    )
+    ref, ref_st = np.asarray(ref), jax.tree.map(np.asarray, ref_st)
+    for cb in (1, 2, 3, 4, 7):  # 3 = remainder group, 7 > n_chunks
+        out, st = demix_fused_stream_groups(
+            params, audio_p, init_lstm_state(cfg.model), cfg, n, seg, stride,
+            chunk_batch=cb,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st.h), ref_st.h, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st.c), ref_st.c, atol=1e-5)
+
+
 def test_batched_shifts_equal_sequential(cfg, audio):
     """shifts=N auto-batches the N shifted copies through one fused
     program; the result must equal the sequential per-pass host loop."""

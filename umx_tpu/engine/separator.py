@@ -28,7 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.models.umx import LSTMState, UMXParams, init_lstm_state, umx_forward
+from umx_tpu.models.umx import (
+    LSTMState,
+    UMXParams,
+    init_lstm_state,
+    umx_forward,
+    umx_post,
+    umx_pre,
+    umx_recurrence,
+)
 from umx_tpu.ops import stft as stft_ops
 from umx_tpu.ops.wiener import wiener_filter_masks
 
@@ -56,29 +64,40 @@ def apply_masks(masks: Array, mag: Array, n_bins: int) -> Array:
     return masks_to_planes(masks, n_bins) * mag[None]
 
 
-def _segment_forward_impl(
-    params: UMXParams,
-    audio: Array,
-    state: LSTMState,
-    cfg: EngineConfig,
-    n_samples: int,
-) -> tuple[Array, LSTMState]:
-    """Demix one fixed-size segment (traceable; see jitted wrapper
-    :func:`segment_forward`).
+def _segment_pre_impl(
+    params: UMXParams, audio: Array, cfg: EngineConfig
+) -> tuple[Array, Array, Array]:
+    """State-FREE front half of the segment pipeline: STFT → magnitude →
+    crop/stack → network phase 1 (input norm + fc1 + bn1 + tanh).
 
-    audio: (2, n_samples) → (waveforms (T#, 2, n_samples), new LSTM state).
-    The full reference per-segment pipeline (inference.cpp:12-207) in one
-    XLA program.
-    """
+    audio: (2, n) → (re, im (2, T, F) spectrogram planes, x1 (T#, T, H)
+    recurrence input).  Because nothing here touches LSTM state, the
+    split-phase streaming orchestrator runs this batched across chunk
+    groups (only :func:`umx_recurrence` is chained)."""
     mcfg, dcfg = cfg.model, cfg.dsp
     # The pipeline runs on (re, im) float32 planes end to end — XLA
     # materializes complex64 as strided pairs, so staying real avoids
     # interleave/deinterleave passes between STFT, Wiener, and iSTFT.
     re, im = stft_ops.stft_planes(audio, dcfg)  # (2, T, F)
     mag = jnp.sqrt(re * re + im * im)
-
     x = crop_stack(mag, mcfg.nb_bins_cropped)
-    masks, new_state = umx_forward(params, x, state, mcfg, cfg.matmul_precision)
+    x1 = umx_pre(params, x, mcfg, cfg.matmul_precision)
+    return re, im, x1
+
+
+def _segment_post_impl(
+    params: UMXParams,
+    re: Array,
+    im: Array,
+    x1: Array,
+    lstm_out: Array,
+    cfg: EngineConfig,
+    n_samples: int,
+) -> Array:
+    """State-free back half: network phase 3 (masks) → Wiener (or naive
+    mix-phase) → iSTFT.  Returns waveforms (T#, 2, n_samples)."""
+    mcfg = cfg.model
+    masks = umx_post(params, x1, lstm_out, mcfg, cfg.matmul_precision)
 
     if cfg.use_wiener:
         # masks go straight into the filter in network layout — the
@@ -93,7 +112,29 @@ def _segment_forward_impl(
         tre = m * re[None]
         tim = m * im[None]
 
-    waves = stft_ops.istft_planes(tre, tim, n_samples, dcfg)  # (T#, 2, n)
+    return stft_ops.istft_planes(tre, tim, n_samples, cfg.dsp)  # (T#, 2, n)
+
+
+def _segment_forward_impl(
+    params: UMXParams,
+    audio: Array,
+    state: LSTMState,
+    cfg: EngineConfig,
+    n_samples: int,
+) -> tuple[Array, LSTMState]:
+    """Demix one fixed-size segment (traceable; see jitted wrapper
+    :func:`segment_forward`).
+
+    audio: (2, n_samples) → (waveforms (T#, 2, n_samples), new LSTM state).
+    The full reference per-segment pipeline (inference.cpp:12-207) in one
+    XLA program, composed from the state-free pre/post phases around the
+    state-carrying recurrence.
+    """
+    re, im, x1 = _segment_pre_impl(params, audio, cfg)
+    lstm_out, new_state = umx_recurrence(
+        params, x1, state, cfg.model, cfg.matmul_precision
+    )
+    waves = _segment_post_impl(params, re, im, x1, lstm_out, cfg, n_samples)
     return waves, new_state
 
 
@@ -282,6 +323,91 @@ def demix_fused(params, audio_p, state, cfg: EngineConfig, n_chunks: int, seg: i
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch"),
+    donate_argnums=(2,),
+)
+def _demix_fused_stream_groups_jit(
+    params: UMXParams,
+    audio_p: Array,
+    state: LSTMState,
+    cfg: EngineConfig,
+    n_chunks: int,
+    seg: int,
+    stride: int,
+    chunk_batch: int = 4,
+) -> tuple[Array, LSTMState]:
+    """STREAMING whole-track demix with the state chain narrowed to the
+    recurrence only (split-phase execution).
+
+    The naive streaming program (``demix_fused``'s lax.scan) threads the
+    ENTIRE segment pipeline through the LSTM state chain, so every chunk
+    pays the full serial latency of STFT→network→Wiener→iSTFT: 41 ms/chunk
+    chained vs 33.6 ms for the same program unchained (PERF.md round-3
+    glue drill).  But only the BLSTM recurrence actually consumes or
+    produces state — STFT/fc1 ingest and masks/Wiener/iSTFT are
+    chunk-independent.  So chunks run in groups of ``chunk_batch``:
+
+      1. phase A, batched: vmap of the state-free pre half over the group
+         (batched MXU gemms for STFT + fc1);
+      2. phase B, serial: per-chunk :func:`umx_recurrence` calls chained
+         through the streaming state (the merged Pallas kernel at B=1 —
+         kernel-grade latency, nothing else rides the chain);
+      3. phase C, batched: vmap of the state-free post half (masks,
+         Wiener, iSTFT) over the group.
+
+    Semantics are EXACTLY the reference's streaming LSTM (state flows
+    chunk k → k+1 in order, umx.cpp:167-171); only the schedule changes.
+    Groups unroll into one XLA program, so the scheduler may additionally
+    overlap group g+1's phase A with group g's serial phase B.
+    """
+    assert cfg.segment.streaming, "split-phase groups are the streaming path"
+    padded_len = audio_p.shape[-1]
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    mcfg = cfg.model
+
+    st = state
+    ys = []
+    n_groups = -(-n_chunks // chunk_batch)
+    for g in range(n_groups):
+        k0 = g * chunk_batch
+        # the remainder group runs at its natural width (no duplicated
+        # segment compute; all groups unroll into this one program)
+        width = min(chunk_batch, n_chunks - k0)
+        chunks = jnp.stack(
+            [
+                jax.lax.dynamic_slice(audio_p, (0, k * stride), (2, seg))
+                for k in range(k0, k0 + width)
+            ]
+        )
+        res, ims, x1s = jax.vmap(lambda a: _segment_pre_impl(params, a, cfg))(chunks)
+        lstm_outs = []
+        for k in range(width):
+            lstm_out, st = umx_recurrence(
+                params, x1s[k], st, mcfg, cfg.matmul_precision
+            )
+            lstm_outs.append(lstm_out)
+        lstm_outs = jnp.stack(lstm_outs)
+        waves = jax.vmap(
+            lambda r, i, x1, lo: _segment_post_impl(params, r, i, x1, lo, cfg, seg)
+        )(res, ims, x1s, lstm_outs)
+        ys.append(waves)
+
+    ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
+    return _normalized_overlap_add(ys, weight, stride, padded_len, cfg), st
+
+
+def demix_fused_stream_groups(
+    params, audio_p, state, cfg: EngineConfig, n_chunks: int, seg: int, stride: int,
+    chunk_batch: int = 4,
+):
+    """Jitted split-phase streaming whole-track demix (see impl above)."""
+    return _demix_fused_stream_groups_jit(
+        params, audio_p, state, _device_cfg(cfg), n_chunks, seg, stride, chunk_batch
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch")
 )
 def _demix_fused_parallel_jit(
@@ -457,6 +583,15 @@ class Separator:
                 # round 3 — cfg.segment.chunk_batch picks the group).
                 out = demix_fused_parallel(
                     self.params, audio_p, cfg, n_chunks, seg, stride,
+                    chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
+                )
+            elif cfg.segment.chunk_batch > 1 and n_chunks > 1:
+                # Streaming default: split-phase groups — only the
+                # recurrence rides the state chain; the state-free
+                # pre/post phases batch across each group (41 → ~34
+                # ms/chunk, PERF.md round-3 glue drill).
+                out, _ = demix_fused_stream_groups(
+                    self.params, audio_p, state, cfg, n_chunks, seg, stride,
                     chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
                 )
             else:

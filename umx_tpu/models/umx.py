@@ -456,13 +456,58 @@ def resolve_lstm_impl(impl: str) -> str:
     return "pallas_merged" if jax.default_backend() == "tpu" else "scan"
 
 
-def _umx_forward_pallas(
-    params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute,
+def umx_pre(params: UMXParams, x: Array, cfg: ModelConfig, compute="default") -> Array:
+    """Phase 1 of the mask network: everything BEFORE the recurrence
+    (input norm + fc1 + bn1 + tanh, vmapped over targets).
+
+    x: (T, F) shared input magnitudes → x1 (T#, T, H).  Carries no LSTM
+    state, so across track chunks this phase is embarrassingly parallel —
+    the split-phase streaming orchestrator batches it over chunk groups
+    (engine/separator.py) while only :func:`umx_recurrence` rides the
+    serial state chain."""
+    spec = resolve_compute(compute)
+    x = x.astype(jnp.float32)
+    return jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, spec))(params)
+
+
+def umx_post(params: UMXParams, x1: Array, lstm_out: Array, cfg: ModelConfig, compute="default") -> Array:
+    """Phase 3: skip-concat + fc2/fc3/bn + output norm (vmapped over
+    targets).  State-free, like :func:`umx_pre`.  Returns masks (T#, T, O)."""
+    spec = resolve_compute(compute)
+    return jax.vmap(lambda tp, a, b: _post_lstm(tp, a, b, cfg, spec))(params, x1, lstm_out)
+
+
+def _recurrence_scan(params: UMXParams, x1: Array, state: LSTMState, cfg: ModelConfig, spec):
+    """3-layer BLSTM via lax.scan, vmapped per target (CPU/portable path)."""
+
+    def one(tp, x1t, h0, c0):
+        lstm_in = x1t
+        hTs, cTs = [], []
+        for layer in range(cfg.n_lstm_layers):
+            lstm_in, (hT, cT) = _bilstm_layer(
+                lstm_in,
+                tp.lstm_ih_w[layer],
+                tp.lstm_ih_b[layer],
+                tp.lstm_hh_w[layer],
+                tp.lstm_hh_b[layer],
+                h0[layer],
+                c0[layer],
+                spec,
+            )
+            hTs.append(hT)
+            cTs.append(cT)
+        return lstm_in, (jnp.stack(hTs), jnp.stack(cTs))
+
+    out, (h, c) = jax.vmap(one)(params, x1, state.h, state.c)
+    return out, LSTMState(h=h, c=c)
+
+
+def _recurrence_pallas(
+    params: UMXParams, x1: Array, state: LSTMState, cfg: ModelConfig, compute,
     impl: str, interpret=False
 ):
-    """Staged forward where each BLSTM layer's recurrence runs as one
-    Pallas kernel over ALL targets/directions (ops/lstm_pallas.py); the
-    fc stages stay vmapped per target."""
+    """3-layer BLSTM where each layer's recurrence runs as one Pallas
+    kernel over ALL targets/directions (ops/lstm_pallas.py)."""
     from umx_tpu.ops.lstm_pallas import lstm_layer_pallas, lstm_layer_pallas_merged
     from umx_tpu.ops.qmatmul import QTensor, q_einsum_ih
 
@@ -471,7 +516,6 @@ def _umx_forward_pallas(
     )
 
     dtype, prec = compute
-    x1 = jax.vmap(lambda tp: _pre_lstm(tp, x, cfg, compute))(params)  # (T#, T, H)
 
     lstm_in = x1
     hTs, cTs = [], []
@@ -515,8 +559,26 @@ def _umx_forward_pallas(
         hTs.append(hT)
         cTs.append(cT)
 
-    masks = jax.vmap(lambda tp, a, b: _post_lstm(tp, a, b, cfg, compute))(params, x1, lstm_in)
-    return masks, LSTMState(h=jnp.stack(hTs, axis=1), c=jnp.stack(cTs, axis=1))
+    return lstm_in, LSTMState(h=jnp.stack(hTs, axis=1), c=jnp.stack(cTs, axis=1))
+
+
+def umx_recurrence(
+    params: UMXParams, x1: Array, state: LSTMState, cfg: ModelConfig, compute="default"
+) -> tuple[Array, LSTMState]:
+    """Phase 2: the 3-layer bidirectional LSTM — the ONLY phase that
+    carries streaming state across chunks (reference: persistent
+    lstm_data arenas, umx.cpp:167-171).
+
+    x1: (T#, T, H) from :func:`umx_pre` → (lstm_out (T#, T, 2G), new
+    state).  Dispatches to the merged Pallas kernel on TPU (lstm_impl
+    "auto") or the vmapped lax.scan path elsewhere."""
+    spec = resolve_compute(compute)
+    impl = resolve_lstm_impl(cfg.lstm_impl)
+    if impl.startswith("pallas"):
+        return _recurrence_pallas(
+            params, x1, state, cfg, spec, impl, interpret=impl == "pallas_interpret"
+        )
+    return _recurrence_scan(params, x1, state, cfg, spec)
 
 
 def umx_forward(
@@ -539,16 +601,9 @@ def umx_forward(
     Returns (masks (T#, T, O), new streaming state).
     """
     spec = resolve_compute(compute)
-    x = x.astype(jnp.float32)
-    impl = resolve_lstm_impl(cfg.lstm_impl)
-    if impl.startswith("pallas"):
-        return _umx_forward_pallas(
-            params, x, state, cfg, spec, impl, interpret=impl == "pallas_interpret"
-        )
-    masks, (hT, cT) = jax.vmap(
-        lambda tp, h0, c0: _forward_one_target(tp, x, h0, c0, cfg, spec)
-    )(params, state.h, state.c)
-    return masks, LSTMState(h=hT, c=cT)
+    x1 = umx_pre(params, x, cfg, spec)
+    lstm_out, new_state = umx_recurrence(params, x1, state, cfg, spec)
+    return umx_post(params, x1, lstm_out, cfg, spec), new_state
 
 
 def param_count(params: UMXParams) -> int:
