@@ -226,10 +226,12 @@ def test_chunk_batch_config_width_equal(cfg, audio):
 
 def test_stream_groups_matches_scan_program(cfg, audio):
     """The split-phase streaming program (pre/post batched per group,
-    ONLY the recurrence chained — the streaming fused default since
-    round 3) must reproduce the sequential lax.scan program exactly:
-    stems AND final streaming state, at every group width including
-    remainder groups and widths wider than the track."""
+    ONLY the recurrence chained — kept as an A/B arm via
+    ``stream_impl="groups"``; a measured perf negative result on v5e,
+    PERF.md round-3 decomposition) must reproduce the sequential
+    lax.scan program exactly: stems AND final streaming state, at every
+    group width including remainder groups and widths wider than the
+    track."""
     import math
 
     import jax
@@ -262,6 +264,14 @@ def test_stream_groups_matches_scan_program(cfg, audio):
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
         np.testing.assert_allclose(np.asarray(st.h), ref_st.h, atol=1e-5)
         np.testing.assert_allclose(np.asarray(st.c), ref_st.c, atol=1e-5)
+
+    # the config knob routes the full demix through the groups program
+    params2 = synthetic_params(cfg.model, seed=0)
+    a = np.asarray(Separator(params2, cfg).demix(audio, fused=True))
+    b = np.asarray(
+        Separator(params2, cfg.replace(stream_impl="groups")).demix(audio, fused=True)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 def test_batched_shifts_equal_sequential(cfg, audio):

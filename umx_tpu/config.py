@@ -222,6 +222,15 @@ class EngineConfig:
     # misalignment taxes layout-changing approaches — PERF.md);
     # "pallas_interpret" runs the kernel in interpreter mode (tests).
     ola_impl: str = "auto"
+    # STREAMING fused-track schedule.  "scan" = one lax.scan over chunks
+    # (the default — measured AT the sum of its phase costs, PERF.md
+    # round-3 decomposition: the state chain itself costs ~0).  "groups"
+    # = the split-phase program (pre/post vmapped across chunk groups,
+    # only the recurrence chained) — a measured NEGATIVE result on v5e
+    # (45.2 vs 41.6 ms/chunk: batching only helps the issue-bound LSTM
+    # kernel, which streaming forbids folding, and the group-concat
+    # overlap-add form costs an extra pass); kept as an A/B arm.
+    stream_impl: Literal["scan", "groups"] = "scan"
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -338,28 +338,24 @@ def _demix_fused_stream_groups_jit(
     chunk_batch: int = 4,
 ) -> tuple[Array, LSTMState]:
     """STREAMING whole-track demix with the state chain narrowed to the
-    recurrence only (split-phase execution).
+    recurrence only (split-phase execution) — a measured NEGATIVE result
+    on v5e, kept as an A/B arm (``EngineConfig.stream_impl="groups"``).
 
-    The naive streaming program (``demix_fused``'s lax.scan) threads the
-    ENTIRE segment pipeline through the LSTM state chain, so every chunk
-    pays the full serial latency of STFT→network→Wiener→iSTFT: 41 ms/chunk
-    chained vs 33.6 ms for the same program unchained (PERF.md round-3
-    glue drill).  But only the BLSTM recurrence actually consumes or
-    produces state — STFT/fc1 ingest and masks/Wiener/iSTFT are
-    chunk-independent.  So chunks run in groups of ``chunk_batch``:
+    Chunks run in groups of ``chunk_batch``: the state-free pre half
+    (STFT+fc1) and post half (masks+Wiener+iSTFT) are vmapped across the
+    group; only per-chunk :func:`umx_recurrence` calls ride the
+    streaming state chain.  Semantics are EXACTLY the reference's
+    streaming LSTM (state flows chunk k → k+1 in order, umx.cpp:167-171);
+    only the schedule changes — asserted equal to the scan program
+    (stems AND final state) in tests/test_engine.py.
 
-      1. phase A, batched: vmap of the state-free pre half over the group
-         (batched MXU gemms for STFT + fc1);
-      2. phase B, serial: per-chunk :func:`umx_recurrence` calls chained
-         through the streaming state (the merged Pallas kernel at B=1 —
-         kernel-grade latency, nothing else rides the chain);
-      3. phase C, batched: vmap of the state-free post half (masks,
-         Wiener, iSTFT) over the group.
-
-    Semantics are EXACTLY the reference's streaming LSTM (state flows
-    chunk k → k+1 in order, umx.cpp:167-171); only the schedule changes.
-    Groups unroll into one XLA program, so the scheduler may additionally
-    overlap group g+1's phase A with group g's serial phase B.
+    Why it does NOT beat the scan (PERF.md round-3 decomposition): the
+    chain itself costs ~0 (recB chained == unchained, 26.6 ms/chunk),
+    the scan program already runs at the sum of its phase costs, and on
+    a serially-executing TPU core batching helps only ops that
+    underutilize their unit per call — i.e. the issue-bound B=1 LSTM
+    kernel, the one phase streaming forbids folding.  The group-concat
+    overlap-add form adds ~1.3 ms/chunk on top: 45.2 vs 41.6 ms/chunk.
     """
     assert cfg.segment.streaming, "split-phase groups are the streaming path"
     padded_len = audio_p.shape[-1]
@@ -585,11 +581,10 @@ class Separator:
                     self.params, audio_p, cfg, n_chunks, seg, stride,
                     chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
                 )
-            elif cfg.segment.chunk_batch > 1 and n_chunks > 1:
-                # Streaming default: split-phase groups — only the
-                # recurrence rides the state chain; the state-free
-                # pre/post phases batch across each group (41 → ~34
-                # ms/chunk, PERF.md round-3 glue drill).
+            elif cfg.stream_impl == "groups" and n_chunks > 1:
+                # A/B arm: split-phase groups (measured negative result
+                # on v5e — batching the state-free phases buys nothing
+                # on a serially-executing core; see config.stream_impl).
                 out, _ = demix_fused_stream_groups(
                     self.params, audio_p, state, cfg, n_chunks, seg, stride,
                     chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
