@@ -35,4 +35,7 @@ from umx_tpu.models.umx import (  # noqa: F401
     params_from_ggml,
     synthetic_params,
     umx_forward,
+    umx_post,
+    umx_pre,
+    umx_recurrence,
 )
