@@ -70,7 +70,7 @@ def main() -> int:
         segment=SegmentConfig(
             segment_secs=seg_secs,
             streaming=streaming,
-            chunk_batch=int(os.environ.get("UMX_BENCH_CHUNK_BATCH", "4")),
+            chunk_batch=int(os.environ.get("UMX_BENCH_CHUNK_BATCH", "0")),
         ),
         use_wiener=use_wiener,
         matmul_precision=precision,

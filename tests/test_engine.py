@@ -210,13 +210,14 @@ def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
 def test_chunk_batch_config_width_equal(cfg, audio):
     """SegmentConfig.chunk_batch (round 3) picks the non-streaming fused
     group width; any width must produce the same stems as the host loop
-    (widths only regroup independent segments)."""
+    (widths only regroup independent segments).  0 = auto: the HBM
+    planner picks the width (suggest_chunk_batch)."""
     params = synthetic_params(cfg.model, seed=0)
     base = dataclasses.replace(
         cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
     )
     looped = np.asarray(Separator(params, base).demix(audio, fused=False))
-    for cb in (1, 3):
+    for cb in (0, 1, 3):
         c = dataclasses.replace(
             base, segment=dataclasses.replace(base.segment, chunk_batch=cb)
         )

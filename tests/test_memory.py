@@ -10,8 +10,10 @@ from umx_tpu.engine.memory import (
     V5E_HBM_BYTES,
     device_hbm_bytes,
     fused_track_hbm_bytes,
+    parallel_track_hbm_bytes,
     params_hbm_bytes,
     segment_batch_hbm_bytes,
+    suggest_chunk_batch,
     suggest_max_batch,
     suggest_max_segment_batch,
 )
@@ -61,6 +63,24 @@ def test_suggest_max_segment_batch():
     # quantized weights free ~360 MB — never a smaller suggestion
     q = suggest_max_segment_batch(_cfg(), hbm_bytes=V5E_HBM_BYTES, quantized=True)
     assert q >= b
+
+
+def test_suggest_chunk_batch():
+    """Auto non-streaming group width (SegmentConfig.chunk_batch=0): on a
+    v5e a 420 s UMX-L track admits the full measured-safe width 16 (the
+    1574x configuration, PERF.md); much longer tracks shrink the group
+    because the track-level buffers eat the budget; the suggestion is
+    never below 1 and never above the measured-safe 16 cap."""
+    cfg = _cfg()
+    w = suggest_chunk_batch(cfg, 420.0, hbm_bytes=V5E_HBM_BYTES)
+    assert w == 16
+    long_w = suggest_chunk_batch(cfg, 1800.0, hbm_bytes=V5E_HBM_BYTES)
+    assert 1 <= long_w < w
+    assert suggest_chunk_batch(cfg, 60.0, hbm_bytes=V5E_HBM_BYTES) <= 16
+    # width is clamped by n_chunks at the call site; footprint must be
+    # monotone in width for the bisection to be valid
+    t = [parallel_track_hbm_bytes(cfg, b, 420.0)["total"] for b in (1, 4, 8, 16)]
+    assert t == sorted(t) and t[0] < t[-1]
 
 
 def test_params_bytes_derived_from_config():

@@ -164,10 +164,14 @@ class SegmentConfig:
     # Non-streaming fused tracks run segments in vmapped groups of this
     # width (segments are independent without the state carry); batched
     # rows fold into the batch-native BLSTM kernel's matmul rows,
-    # amortizing the recurrence's width-independent latency floor.
-    # Bounded by HBM (engine/memory.py models the per-segment batch
-    # curve: 16 fits, 32 OOMs at 60 s segments).
-    chunk_batch: int = 4
+    # amortizing the recurrence's width-independent latency floor —
+    # wider is monotonically faster until HBM runs out (420 s track:
+    # width 4 = 1251x, 8 = 1416x, 16 = 1574x, PERF.md).  0 = AUTO: the
+    # HBM planner picks the largest width whose estimated footprint
+    # (track buffers + width x segment transients) fits the device
+    # (engine/memory.py::suggest_chunk_batch, calibrated against the
+    # measured 16-fits / 32-OOMs batch-curve endpoint).
+    chunk_batch: int = 0
 
     def __post_init__(self):
         if not (0.0 <= self.overlap < 1.0):

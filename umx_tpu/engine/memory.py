@@ -221,6 +221,76 @@ def suggest_max_batch(
     )
 
 
+def parallel_track_hbm_bytes(
+    cfg: EngineConfig,
+    chunk_batch: int,
+    track_secs: float,
+    quantized: bool = False,
+    params=None,
+) -> dict[str, int]:
+    """Estimated peak HBM of the NON-STREAMING fused-track program at a
+    given segment-group width (``demix_fused_parallel``): the track-level
+    buffers (stacked weighted chunks, overlap-add combine, stems, audio)
+    plus ``chunk_batch`` segments' pipeline transients in flight."""
+    sr = cfg.dsp.sample_rate
+    seg = cfg.segment.segment_samples(sr)
+    stride = cfg.segment.stride_samples(sr)
+    length = int(track_secs * sr)
+    n_chunks = max(1, math.ceil(length / stride))
+    padded = (n_chunks - 1) * stride + seg
+    s = cfg.model.n_targets
+    f4 = 4
+
+    ys = s * 2 * n_chunks * seg * f4
+    ola = 2 * s * 2 * n_chunks * stride * f4
+    stems = s * 2 * padded * f4
+    audio = 2 * padded * f4
+    width = min(chunk_batch, n_chunks)
+    seg_transients = width * _segment_transient_bytes(cfg)
+    params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
+
+    group_phase = ys + audio + seg_transients
+    ola_phase = ys + ola + stems
+    peak = max(group_phase, ola_phase)
+    total = int(peak * _LAYOUT_FACTOR) + params_b
+    return {
+        "ys": ys,
+        "ola": ola,
+        "stems": stems,
+        "audio": audio,
+        "seg_transients": seg_transients,
+        "params": params_b,
+        "group_phase": group_phase,
+        "ola_phase": ola_phase,
+        "total": total,
+    }
+
+
+def suggest_chunk_batch(
+    cfg: EngineConfig,
+    track_secs: float,
+    hbm_bytes: int | None = None,
+    safety: float = 0.9,
+    quantized: bool = False,
+    params=None,
+) -> int:
+    """Largest non-streaming fused-group width whose estimated footprint
+    fits (``SegmentConfig.chunk_batch == 0`` auto mode).  Wider groups
+    are monotonically faster — the batch-native BLSTM kernel folds group
+    rows, amortizing the recurrence's width-independent latency floor
+    (420 s track: 4 = 1251x, 16 = 1574x, PERF.md) — so the only bound is
+    memory.  Capped at 16, the measured-safe per-segment batch endpoint
+    (the 60 s batch curve ends in (16 fits, 32 OOMs))."""
+    budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
+    return _suggest(
+        lambda w: parallel_track_hbm_bytes(
+            cfg, w, track_secs, quantized=quantized, params=params
+        )["total"],
+        budget,
+        hard_cap=16,
+    )
+
+
 def suggest_max_segment_batch(
     cfg: EngineConfig,
     hbm_bytes: int | None = None,

@@ -570,16 +570,22 @@ class Separator:
             )
 
         if fused:
+            cb = cfg.segment.chunk_batch
+            if cb <= 0:  # auto: planner-picked group width (config.py)
+                from umx_tpu.engine.memory import suggest_chunk_batch
+
+                cb = suggest_chunk_batch(
+                    cfg, length / sr, params=self.params
+                )
             if not cfg.segment.streaming:
                 # Non-streaming: segments are independent, so the
-                # chunk-batched program wins again now that the BLSTM
-                # kernel is batch-native (batched chunks fold into kernel
-                # matmul rows): 839× vs 698× sequential scan on a 420 s
-                # track (PERF.md round-2 close; width A/B'd in PERF.md
-                # round 3 — cfg.segment.chunk_batch picks the group).
+                # chunk-batched program wins — batched chunks fold into
+                # the batch-native BLSTM kernel's matmul rows, and wider
+                # groups are monotonically faster until HBM runs out
+                # (420 s track: width 4 = 1251×, 16 = 1574×, PERF.md).
                 out = demix_fused_parallel(
                     self.params, audio_p, cfg, n_chunks, seg, stride,
-                    chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
+                    chunk_batch=min(cb, n_chunks),
                 )
             elif cfg.stream_impl == "groups" and n_chunks > 1:
                 # A/B arm: split-phase groups (measured negative result
@@ -587,7 +593,7 @@ class Separator:
                 # on a serially-executing core; see config.stream_impl).
                 out, _ = demix_fused_stream_groups(
                     self.params, audio_p, state, cfg, n_chunks, seg, stride,
-                    chunk_batch=min(cfg.segment.chunk_batch, n_chunks),
+                    chunk_batch=min(cb, n_chunks),
                 )
             else:
                 out, _ = demix_fused(
