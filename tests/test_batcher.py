@@ -37,8 +37,19 @@ def setup():
 
 
 def test_minority_shape_not_starved(setup):
-    """One minority-shape job racing 12 majority-shape jobs must complete
-    before the majority stream drains (the old loop ran it last)."""
+    """A minority-shape job enqueued MID-STREAM must execute before every
+    majority-shape job enqueued after it (oldest-job-first group
+    seeding).  The old park-and-requeue loop re-parked it behind the
+    sustained majority stream and ran it dead last.
+
+    Jobs are enqueued directly (not via racing threads, whose scheduling
+    under CPU load made the wall-clock variant of this test flaky): the
+    queue is FIFO and the worker drains it preserving arrival order, so
+    the assertion is deterministic."""
+    from concurrent.futures import Future
+
+    from umx_tpu.engine.separator import _device_cfg
+
     cfg, params, state, (n_a, audio_a), (n_b, audio_b) = setup
     batcher = SegmentBatcher(max_batch=2, max_wait_ms=20.0)
     try:
@@ -46,30 +57,32 @@ def test_minority_shape_not_starved(setup):
         batcher.run(params, audio_a, state, cfg, n_a)
         batcher.run(params, audio_b, state, cfg, n_b)
 
-        done = {}
+        order: list[str] = []
         lock = threading.Lock()
 
-        def job(name, audio, n, delay):
-            time.sleep(delay)
-            batcher.run(params, audio, state, cfg, n)
-            with lock:
-                done[name] = time.monotonic()
+        def submit(name, audio, n):
+            fut: Future = Future()
 
-        threads = [
-            threading.Thread(target=job, args=(f"a{i}", audio_a, n_a, 0.001 * i))
-            for i in range(12)
-        ]
-        # minority job arrives while the majority stream is in flight
-        threads.append(threading.Thread(target=job, args=("b", audio_b, n_b, 0.004)))
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=300)
-        assert len(done) == 13
-        a_last = max(v for k, v in done.items() if k.startswith("a"))
-        assert done["b"] < a_last, (
-            f"minority-shape job finished last (b={done['b']:.3f} vs "
-            f"a_last={a_last:.3f}) — starvation regression"
+            def record(_f, name=name):
+                with lock:
+                    order.append(name)
+
+            fut.add_done_callback(record)
+            key = (_device_cfg(cfg), n, id(params))
+            batcher._q.put((key, params, audio, state, fut))
+            return fut
+
+        futs = [submit(f"a{i}", audio_a, n_a) for i in range(6)]
+        futs.append(submit("b", audio_b, n_b))  # minority job mid-stream
+        futs += [submit(f"a{i}", audio_a, n_a) for i in range(6, 12)]
+        for f in futs:
+            f.result(timeout=300)
+        assert len(order) == 13
+        b_pos = order.index("b")
+        late_positions = [order.index(f"a{i}") for i in range(6, 12)]
+        assert b_pos < min(late_positions), (
+            f"minority-shape job ran after later-enqueued majority jobs "
+            f"(order={order}) — starvation regression"
         )
     finally:
         batcher.close()

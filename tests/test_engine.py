@@ -181,10 +181,10 @@ def test_multi_shift_averaging(cfg, audio):
 
 
 def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
-    """demix_fused_parallel IS the non-streaming default (chunk_batch=4:
-    batched chunks fold into the batch-native BLSTM kernel's matmul
-    rows — 839× vs 698× sequential, PERF.md round-2 close); keep it
-    equal to the host loop."""
+    """demix_fused_parallel IS the non-streaming default (group width
+    planner-picked since round 3 — chunk_batch=0 auto, 1549× vs the
+    fixed-4 1251×, PERF.md; batched chunks fold into the batch-native
+    BLSTM kernel's matmul rows); keep it equal to the host loop."""
     import math
 
     import jax.numpy as jnp
