@@ -167,6 +167,22 @@ def test_bf16_fast_path_knobs_match_f32(cfg, audio):
     peak = float(np.abs(ref).max())
     np.testing.assert_allclose(out, ref, atol=2e-2 * peak)
 
+    # round-3 storage knobs: bf16 mask emission (halves the Wiener
+    # passes' mask reads) + bf16 post-iDFT frame storage (halves the
+    # OLA's streamed traffic) — same rounding class end to end
+    c2 = dataclasses.replace(
+        c,
+        mask_dtype="bfloat16",
+        # matmul-DFT path so the bf16 frame storage is actually exercised
+        # on CPU (the XLA-FFT branch ignores iframes_dtype)
+        dsp=dataclasses.replace(
+            c.dsp, iframes_dtype="bfloat16", fft_impl="matmul"
+        ),
+    )
+    out2 = Separator(params, c2).demix_track(audio[:, :44100], seed=3)
+    assert out2.dtype == np.float32
+    np.testing.assert_allclose(out2, ref, atol=2e-2 * peak)
+
 
 def test_multi_shift_averaging(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)

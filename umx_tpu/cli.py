@@ -58,6 +58,23 @@ def build_parser() -> argparse.ArgumentParser:
         "45.8 dB at production shape — PARITY.md idft row)",
     )
     p.add_argument(
+        "--mask-dtype",
+        choices=("auto", "float32", "bfloat16"),
+        default="auto",
+        help="storage dtype of the network mask output at the inference "
+        "seam (auto = bfloat16 on TPU: halves both Wiener passes' mask "
+        "reads; same rounding class as the bf16 matmuls that produce "
+        "them — PARITY.md)",
+    )
+    p.add_argument(
+        "--iframes-dtype",
+        choices=("auto", "float32", "bfloat16"),
+        default="auto",
+        help="storage dtype of the post-iDFT frame tensor the "
+        "overlap-add streams (auto = bfloat16 on TPU when the inverse "
+        "matmuls are already single-pass bf16)",
+    )
+    p.add_argument(
         "--input-scaling",
         choices=("openunmix", "umxcpp"),
         default="openunmix",
@@ -123,7 +140,9 @@ def _main(argv=None) -> int:
         dsp=DSPConfig(
             dft_precision=args.dft_precision,
             idft_precision=args.idft_precision,
+            iframes_dtype=args.iframes_dtype,
         ),
+        mask_dtype=args.mask_dtype,
         segment=SegmentConfig(
             segment_secs=args.segment_secs,
             overlap=args.overlap,

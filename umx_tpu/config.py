@@ -60,6 +60,16 @@ class DSPConfig:
     # throughput vs the 3-pass "high".  "auto" = "default" on TPU,
     # dft_precision elsewhere (CPU matmuls are true fp32 regardless).
     idft_precision: Literal["auto", "default", "high", "highest"] = "auto"
+    # Storage dtype of the post-iDFT frame tensor that the overlap-add
+    # streams (339 MB f32 per 60 s segment x 4 targets at production
+    # shape).  "bfloat16" downcasts in the iDFT's subtract epilogue
+    # (free) and runs the OLA in bf16, halving that traffic; the rounding
+    # is the same ~2.3e-3 class as the bf16 iDFT matmul itself and lands
+    # purely on the output waveform (parity row in PARITY.md).  The
+    # window-sumsquare normalization always divides in float32.
+    # "auto" = bfloat16 on TPU when the inverse matmuls already run
+    # single-pass bf16, float32 elsewhere.
+    iframes_dtype: Literal["auto", "float32", "bfloat16"] = "auto"
 
     @property
     def n_bins(self) -> int:
@@ -226,6 +236,14 @@ class EngineConfig:
     # misalignment taxes layout-changing approaches — PERF.md);
     # "pallas_interpret" runs the kernel in interpreter mode (tests).
     ola_impl: str = "auto"
+    # Storage dtype of the network's mask output at the inference seam
+    # (fed to Wiener / mask-apply; 169 MB f32 per 60 s segment, read by
+    # BOTH Wiener passes).  "bfloat16" halves that traffic; the masks
+    # already come out of single-pass bf16 matmuls on TPU, so the store
+    # rounding is the same accepted class (parity row in PARITY.md).
+    # "auto" = bfloat16 on TPU, float32 elsewhere.  Training never sees
+    # this seam (train.py consumes umx_forward's f32 masks directly).
+    mask_dtype: Literal["auto", "float32", "bfloat16"] = "auto"
     # STREAMING fused-track schedule.  "scan" = one lax.scan over chunks
     # (the default — measured AT the sum of its phase costs, PERF.md
     # round-3 decomposition: the state chain itself costs ~0).  "groups"

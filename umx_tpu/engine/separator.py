@@ -64,6 +64,17 @@ def apply_masks(masks: Array, mag: Array, n_bins: int) -> Array:
     return masks_to_planes(masks, n_bins) * mag[None]
 
 
+def _resolve_mask_dtype(cfg: EngineConfig):
+    choice = getattr(cfg, "mask_dtype", "auto")
+    if choice == "auto":
+        return (
+            jnp.bfloat16
+            if jax.default_backend() not in ("cpu",)
+            else jnp.float32
+        )
+    return jnp.dtype(choice)
+
+
 def _segment_pre_impl(
     params: UMXParams, audio: Array, cfg: EngineConfig
 ) -> tuple[Array, Array, Array]:
@@ -98,6 +109,9 @@ def _segment_post_impl(
     mix-phase) → iSTFT.  Returns waveforms (T#, 2, n_samples)."""
     mcfg = cfg.model
     masks = umx_post(params, x1, lstm_out, mcfg, cfg.matmul_precision)
+    # inference-seam mask storage dtype (bf16 on TPU halves the Wiener
+    # passes' mask reads; the downcast fuses into the bn3/relu epilogue)
+    masks = masks.astype(_resolve_mask_dtype(cfg))
 
     if cfg.use_wiener:
         # masks go straight into the filter in network layout — the

@@ -82,6 +82,7 @@ def irdft(
     precision: str = "high",
     algo: str = "dense",
     window: Array | None = None,
+    out_dtype=jnp.float32,
 ) -> Array:
     """Inverse of :func:`rdft` with 1/N scaling → frames ``(..., n_fft)``.
 
@@ -90,9 +91,15 @@ def irdft(
     matrices (zero extra passes over the frame tensor), for the CT algo it
     multiplies the last stage's epilogue.  This removes the separate
     window-multiply pass the reference does after its per-frame iFFT
-    (dsp.cpp:178-258)."""
+    (dsp.cpp:178-258).
+
+    ``out_dtype=bfloat16`` downcasts in the subtract epilogue (free in
+    the dot fusion; the cos/sin products still cancel in f32) — halves
+    the frame tensor the downstream overlap-add streams (339 → 169 MB
+    per 60 s segment at production shape)."""
     if algo == "ct":
-        return irdft_ct(re, im, n_fft, precision, window=window)
+        out = irdft_ct(re, im, n_fft, precision, window=window)
+        return out if out_dtype == jnp.float32 else out.astype(out_dtype)
     cos_m, sin_m = (jnp.asarray(m) for m in _dft_mats_np(n_fft))
     if window is not None:
         cos_m = cos_m * window[:, None]
@@ -100,9 +107,10 @@ def irdft(
     n_bins = n_fft // 2 + 1
     w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
     w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
-    return _dot(re.astype(jnp.float32) * w, cos_m, precision, transpose_b=True) - _dot(
+    out = _dot(re.astype(jnp.float32) * w, cos_m, precision, transpose_b=True) - _dot(
         im.astype(jnp.float32) * w, sin_m, precision, transpose_b=True
     )
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

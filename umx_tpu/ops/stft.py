@@ -156,6 +156,22 @@ def _resolve_idft_precision(cfg: DSPConfig) -> str:
     return prec
 
 
+def _resolve_iframes_dtype(cfg: DSPConfig):
+    choice = getattr(cfg, "iframes_dtype", "auto")
+    if choice == "auto":
+        # bf16 frame storage only pays when the inverse matmuls are
+        # already single-pass bf16 (TPU): the downcast then adds the
+        # same rounding class the transform already carries, and the
+        # OLA's streamed traffic halves.
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return (
+            jnp.bfloat16
+            if on_tpu and _resolve_idft_precision(cfg) == "default"
+            else jnp.float32
+        )
+    return jnp.dtype(choice)
+
+
 def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
     """Inverse STFT from (re, im) planes → (..., n_samples).
 
@@ -184,14 +200,15 @@ def istft_planes(re: Array, im: Array, n_samples: int, cfg: DSPConfig) -> Array:
         if _use_matmul_fft(cfg):
             frames = mxu_fft.irdft(
                 re, im, cfg.n_fft, _resolve_idft_precision(cfg), cfg.dft_algo,
-                window=win,
+                window=win, out_dtype=_resolve_iframes_dtype(cfg),
             )
         else:
             spec = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
             frames = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1).astype(jnp.float32) * win
         sig = overlap_add(frames, cfg.hop)
     wss = window_sumsquare(win, n_frames, cfg.hop, sig.shape[-1])
-    sig = sig / (wss + 1e-8)
+    # normalization always in f32 (wss spans ~3 orders of magnitude)
+    sig = sig.astype(jnp.float32) / (wss + 1e-8)
     return sig[..., cfg.pad : cfg.pad + n_samples]
 
 

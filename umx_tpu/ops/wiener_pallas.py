@@ -64,7 +64,7 @@ def _make_reduce_kernel_masks(n_sources: int):
     algebraically y = mask * x (mag*unit(x) = mask*|x|*x/|x|), so the
     statistics only need masks and the mix planes."""
 
-    def kernel(xre_ref, xim_ref, mask_ref, scale_ref, racc_ref):
+    def kernel(xre_ref, xim_ref, m0_ref, m1_ref, scale_ref, racc_ref):
         inv = scale_ref[0, 0]
         sq = inv * inv
         ax0 = xre_ref[0] * xre_ref[0] + xim_ref[0] * xim_ref[0]
@@ -74,8 +74,13 @@ def _make_reduce_kernel_masks(n_sources: int):
         ci = xim_ref[0] * xre_ref[1] - xre_ref[0] * xim_ref[1]
         rows = []
         for s in range(n_sources):
-            m0 = mask_ref[s, :, 0]
-            m1 = mask_ref[s, :, 1]
+            # per-channel mask planes arrive as SEPARATE refs (possibly
+            # bf16, EngineConfig.mask_dtype): indexing only the leading
+            # source dim keeps zero-offset layouts, which Mosaic's
+            # reduce requires (a packed (K, 2, F) channel slice at
+            # index 1 carries a sublane offset it rejects)
+            m0 = m0_ref[s].astype(jnp.float32)
+            m1 = m1_ref[s].astype(jnp.float32)
             m01 = m0 * m1
             rows.append(jnp.sum(m0 * m0 * ax0, axis=0, keepdims=True) * sq)
             rows.append(jnp.sum(m1 * m1 * ax1, axis=0, keepdims=True) * sq)
@@ -95,15 +100,15 @@ def _make_reduce_kernel_masks(n_sources: int):
 def _make_apply_kernel_masks(n_sources: int, eps: float, reg: float):
     """Apply variant with PSD from masks: v_s = mean_c (mask_sc |x_c|)^2."""
 
-    def kernel(xre_ref, xim_ref, mask_ref, racc_ref, scale_ref, yre_ref, yim_ref):
+    def kernel(xre_ref, xim_ref, m0_ref, m1_ref, racc_ref, scale_ref, yre_ref, yim_ref):
         inv_ma = scale_ref[0, 0]
         sq = inv_ma * inv_ma
         ax0 = xre_ref[0] * xre_ref[0] + xim_ref[0] * xim_ref[0]
         ax1 = xre_ref[1] * xre_ref[1] + xim_ref[1] * xim_ref[1]
 
         def v_of(s):
-            m0 = mask_ref[s, :, 0]
-            m1 = mask_ref[s, :, 1]
+            m0 = m0_ref[s].astype(jnp.float32)  # per-channel refs (see reduce)
+            m1 = m1_ref[s].astype(jnp.float32)
             return 0.5 * sq * (m0 * m0 * ax0 + m1 * m1 * ax1)
 
         _apply_common(xre_ref, xim_ref, v_of, racc_ref, inv_ma, yre_ref, yim_ref,
@@ -398,14 +403,20 @@ def wiener_planes_from_masks(
 
     xre_p = _pad_to(xre.astype(jnp.float32), -2, time_block)
     xim_p = _pad_to(xim.astype(jnp.float32), -2, time_block)
-    masks4 = _pad_to(masks.astype(jnp.float32).reshape(S, T, 2, F), -3, time_block)
+    # masks keep their storage dtype (bf16 under EngineConfig.mask_dtype
+    # halves both kernels' mask read traffic) and are split per channel —
+    # leading-dim-only kernel indexing keeps zero-offset Mosaic layouts
+    # (replaces the old (S, T, 2, F) minor-split reshape; same relayout
+    # class, half the bytes under bf16)
+    m0s = _pad_to(masks[..., :F], -2, time_block)
+    m1s = _pad_to(masks[..., F:], -2, time_block)
     Tp = xre_p.shape[-2]
     K = min(time_block, Tp)
     n_blocks = Tp // K
     reg = float(cfg.eps) ** 0.5
 
     x_spec = pl.BlockSpec((2, K, F), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
-    m_spec = pl.BlockSpec((S, K, 2, F), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((S, K, F), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((S, 2, K, F), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
     racc_spec = pl.BlockSpec((4 * S, F), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
@@ -416,22 +427,22 @@ def wiener_planes_from_masks(
     racc = pl.pallas_call(
         _make_reduce_kernel_masks(S),
         grid=(n_blocks,),
-        in_specs=[x_spec, x_spec, m_spec, scale_spec],
+        in_specs=[x_spec, x_spec, m_spec, m_spec, scale_spec],
         out_specs=racc_spec,
         out_shape=jax.ShapeDtypeStruct((4 * S, F), jnp.float32),
         compiler_params=params,
         interpret=interpret,
-    )(xre_p, xim_p, masks4, inv_ma)
+    )(xre_p, xim_p, m0s, m1s, inv_ma)
     last = cfg.iterations == 1
     yre, yim = pl.pallas_call(
         _make_apply_kernel_masks(S, float(cfg.eps), reg),
         grid=(n_blocks,),
-        in_specs=[x_spec, x_spec, m_spec, racc_spec, scale_spec],
+        in_specs=[x_spec, x_spec, m_spec, m_spec, racc_spec, scale_spec],
         out_specs=[y_spec, y_spec],
         out_shape=[y_shape_out if last else y_shape] * 2,
         compiler_params=params,
         interpret=interpret,
-    )(xre_p, xim_p, masks4, racc, inv_ma)
+    )(xre_p, xim_p, m0s, m1s, racc, inv_ma)
 
     for it in range(cfg.iterations - 1):
         # further EM iterations use the generic y-based kernels
