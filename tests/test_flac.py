@@ -96,11 +96,13 @@ def test_load_audio_flac_mono_duplicates_to_stereo(tmp_path):
     np.testing.assert_array_equal(out[0], out[1])
 
 
-def test_load_audio_rejects_ogg(tmp_path):
+def test_load_audio_rejects_non_vorbis_ogg(tmp_path):
+    # OGG/Vorbis now decodes (tests/test_ogg.py); an Ogg container that
+    # is not a Vorbis stream must still fail loudly, not as silence
     path = str(tmp_path / "x.ogg")
     with open(path, "wb") as f:
         f.write(b"OggS" + b"\x00" * 100)
-    with pytest.raises(UnsupportedAudio, match="OGG"):
+    with pytest.raises(ValueError, match="Vorbis"):
         load_audio(path)
 
 

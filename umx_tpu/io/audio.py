@@ -52,11 +52,17 @@ def load_audio(path: str, expected_rate: int = 44100, resample: bool = False) ->
                 "(build it with `make -C native`)"
             )
     elif magic == b"OggS":
-        # deliberate capability rejection: OGG/Vorbis is a lossy codec
-        # with no role in the MUSDB evaluation chain (see docs/)
-        raise UnsupportedAudio(
-            f"{path}: OGG is not supported (lossy codec); supply WAV or FLAC"
-        )
+        # OGG/Vorbis decode via the system libvorbisfile (io/ogg.py) —
+        # capability parity with the reference's libnyquist path
+        # (dsp.cpp:6-8).  Lossy: see docs/audio-formats.md quality note.
+        from umx_tpu.io import ogg
+
+        decoded = ogg.decode_ogg(path)
+        if decoded is None:
+            raise UnsupportedAudio(
+                f"{path}: OGG decoding requires the system libvorbisfile "
+                "(not found); supply WAV or FLAC"
+            )
     else:
         decoded = native.read_wav_native(path)
         if decoded is None:
