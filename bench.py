@@ -76,6 +76,13 @@ def main() -> int:
         matmul_precision=precision,
         ola_impl=os.environ.get("UMX_BENCH_OLA", "auto"),
     )
+    wiener_tb = int(os.environ.get("UMX_BENCH_WIENER_TB", "0"))
+    if wiener_tb:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, wiener=dataclasses.replace(cfg.wiener, time_block=wiener_tb)
+        )
     family = "umxl" if hidden >= 1024 else "umxhq"
     if hidden != cfg.model.hidden_size:
         import dataclasses

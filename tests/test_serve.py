@@ -98,6 +98,50 @@ def test_demix_round_trip(server):
     assert corr > 0.98
 
 
+def test_demix_accepts_flac_and_ogg_bytes(server, tmp_path):
+    """/demix sniffs the container magic — FLAC and OGG bodies demix
+    like WAV (load_audio dispatch, umx_tpu/io/audio.py)."""
+    from scipy.io import wavfile
+
+    flac_writer = pytest.importorskip("flac_writer")
+    from umx_tpu.io import ogg as oggmod
+
+    t = np.arange(44100) / 44100.0
+    tone = np.stack(
+        [0.4 * np.sin(2 * np.pi * 220 * t), 0.4 * np.sin(2 * np.pi * 330 * t)], axis=1
+    )
+
+    bodies = {}
+    flac_path = str(tmp_path / "m.flac")
+    flac_writer.write_flac(
+        flac_path, np.round(tone * 32767.0).astype(np.int32), sample_rate=44100
+    )
+    bodies["flac"] = open(flac_path, "rb").read()
+
+    if oggmod.available():
+        ogg_writer = pytest.importorskip("ogg_writer")
+        ogg_path = str(tmp_path / "m.ogg")
+        ogg_writer.write_ogg(ogg_path, tone.astype(np.float32), 44100)
+        bodies["ogg"] = open(ogg_path, "rb").read()
+
+    for kind, body in bodies.items():
+        req = urllib.request.Request(
+            server + "/demix?shifts=0&wiener=1", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200, kind
+            payload = r.read()
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            total = 0
+            for name in sorted(zf.namelist()):
+                rate, data = wavfile.read(io.BytesIO(zf.read(name)))
+                assert rate == 44100 and data.shape[1] == 2, kind
+                total = total + data.astype(np.float64)
+        n = min(len(total), len(tone))
+        corr = np.corrcoef(total[:n].ravel(), tone[:n].ravel())[0, 1]
+        assert corr > 0.97, (kind, corr)
+
+
 def test_bad_requests(server):
     # wrong sample rate
     from scipy.io import wavfile

@@ -10,9 +10,10 @@ Endpoints:
     GET  /info             -> model/engine configuration + autoscaling
                               signals (busy fraction, queue depth, batch
                               fill, scale hint)
-    POST /demix            -> body: WAV bytes (44.1 kHz mono/stereo);
-                              response: uncompressed ZIP containing
-                              target_{0..3}.wav
+    POST /demix            -> body: audio bytes — WAV, FLAC, or
+                              OGG/Vorbis, sniffed by magic (44.1 kHz
+                              mono/stereo); response: uncompressed ZIP
+                              containing target_{0..3}.wav
          ?shifts=0|1&wiener=0|1&seed=N
     POST /stats/reset      -> zero batcher counters + utilization clock
                               (call after warmup so autoscaling signals
@@ -152,6 +153,8 @@ class DemixService:
         return time.perf_counter() - t0
 
     def demix_wav_bytes(self, wav_bytes: bytes, shifts: int, wiener: bool, seed: int) -> bytes:
+        # accepts WAV, FLAC, or OGG bytes: load_audio sniffs the magic,
+        # so the temp-file suffix is cosmetic
         import tempfile
 
         import numpy as np
