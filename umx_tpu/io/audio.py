@@ -64,9 +64,23 @@ def load_audio(path: str, expected_rate: int = 44100, resample: bool = False) ->
                 "(not found); supply WAV or FLAC"
             )
     else:
-        decoded = native.read_wav_native(path)
-        if decoded is None:
-            decoded = _decode_scipy(path)
+        from umx_tpu.io import mp3
+
+        if mp3.looks_like_mp3(magic):
+            # MP3 decode via the system libmpg123 (io/mp3.py) — parity
+            # with the reference's libnyquist dr_mp3 path (dsp.cpp:6-8).
+            # Checked after the fixed-magic formats: MP3 has no magic,
+            # only an ID3 tag or a frame sync.
+            decoded = mp3.decode_mp3(path)
+            if decoded is None:
+                raise UnsupportedAudio(
+                    f"{path}: MP3 decoding requires the system libmpg123 "
+                    "(not found); supply WAV or FLAC"
+                )
+        else:
+            decoded = native.read_wav_native(path)
+            if decoded is None:
+                decoded = _decode_scipy(path)
     data, rate = decoded
     if rate != expected_rate:
         if not resample:

@@ -153,8 +153,9 @@ class DemixService:
         return time.perf_counter() - t0
 
     def demix_wav_bytes(self, wav_bytes: bytes, shifts: int, wiener: bool, seed: int) -> bytes:
-        # accepts WAV, FLAC, or OGG bytes: load_audio sniffs the magic,
-        # so the temp-file suffix is cosmetic
+        # accepts WAV, FLAC, OGG, or MP3 bytes: load_audio sniffs the
+        # magic (ID3/frame-sync for MP3), so the temp-file suffix is
+        # cosmetic
         import tempfile
 
         import numpy as np
