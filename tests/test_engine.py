@@ -394,6 +394,44 @@ def test_cli_end_to_end(tmp_path, cfg, audio):
         assert np.isfinite(data).all()
 
 
+def test_cli_ab_knob_flags(tmp_path, cfg, audio):
+    """Round-3 A/B knob exposure: every recorded-negative-result arm and
+    impl choice is drivable from the CLI (ROADMAP "CLI exposure for
+    istft/wiener A/B knobs"), and the one semantically impossible combo
+    (umxcpp PSD quirk on the Pallas kernels) is an explicit usage error
+    instead of a silent einsum fallback."""
+    from scipy.io import wavfile
+
+    from umx_tpu import cli
+    from umx_tpu.io.ggml import write_ggml
+    from umx_tpu.models.umx import synthetic_state_dicts
+
+    # conflict guard fires before any file IO
+    rc = cli.main(
+        ["m.bin", "x.wav", "o", "--wiener-psd", "umxcpp", "--wiener-impl", "pallas"]
+    )
+    assert rc == 2
+
+    model_path = str(tmp_path / "model.bin.gz")
+    write_ggml(model_path, cfg.model.hidden_size, synthetic_state_dicts(cfg.model, seed=0))
+    wav_path = str(tmp_path / "mix.wav")
+    wavfile.write(wav_path, 44100, np.ascontiguousarray(audio[:, :44100].T))
+
+    out_dir = str(tmp_path / "out")
+    rc = cli.main(
+        [model_path, wav_path, out_dir, "--quiet", "--segment-secs", "1.0",
+         "--shifts", "0", "--wiener-impl", "einsum", "--lstm-impl", "scan",
+         "--stream-impl", "groups", "--wiener-out-dtype", "float32",
+         "--chunk-batch", "2"]
+    )
+    assert rc == 0
+    for i in range(4):
+        path = os.path.join(out_dir, f"target_{i}.wav")
+        assert os.path.exists(path)
+        _, data = wavfile.read(path)
+        assert np.isfinite(data).all()
+
+
 def test_host_only_cfg_fields_do_not_recompile():
     # ADVICE r1 (medium): shifts / max_shift_secs are host-only; changing
     # them must not retrigger a device compile of the segment program.

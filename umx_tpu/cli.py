@@ -75,6 +75,54 @@ def build_parser() -> argparse.ArgumentParser:
         "matmuls are already single-pass bf16)",
     )
     p.add_argument(
+        "--istft-algo",
+        choices=("auto", "dense", "ct2", "ct2_xla"),
+        default="auto",
+        help="inverse-transform algorithm A/B arm (auto = dense "
+        "matmul-DFT, the measured winner; ct2 = fused Cooley-Tukey "
+        "Pallas kernel, ct2_xla = einsum CT — both recorded negative "
+        "results kept for A/B, PERF.md)",
+    )
+    p.add_argument(
+        "--wiener-impl",
+        choices=("auto", "einsum", "pallas"),
+        default="auto",
+        help="Wiener-EM implementation (auto = fused two-pass Pallas "
+        "kernels on TPU, ~6x less HBM traffic; einsum = portable "
+        "whole-segment chain, required for --wiener-psd umxcpp)",
+    )
+    p.add_argument(
+        "--wiener-out-dtype",
+        choices=("auto", "float32", "bfloat16"),
+        default="auto",
+        help="storage dtype of the emitted Wiener y planes (auto = "
+        "bfloat16 on TPU: halves the apply pass's dominant write "
+        "traffic; bounded by the PARITY wiener_bf16 row)",
+    )
+    p.add_argument(
+        "--lstm-impl",
+        choices=("auto", "scan", "pallas_merged"),
+        default="auto",
+        help="BLSTM recurrence implementation (auto = merged Pallas "
+        "kernel on TPU — grid rides the recurrence, batch-native "
+        "custom_vmap fold; scan = portable lax.scan)",
+    )
+    p.add_argument(
+        "--stream-impl",
+        choices=("scan", "groups"),
+        default="scan",
+        help="streaming track program (scan = fused sequential scan, "
+        "the measured winner; groups = split-phase A/B arm: state-free "
+        "pre/post vmapped across chunk groups, recurrence-only chain)",
+    )
+    p.add_argument(
+        "--chunk-batch",
+        type=int,
+        default=0,
+        help="non-streaming fused-track group width (0 = auto: the HBM "
+        "planner picks the widest fitting width — the shipped default)",
+    )
+    p.add_argument(
         "--input-scaling",
         choices=("openunmix", "umxcpp"),
         default="openunmix",
@@ -135,20 +183,36 @@ def _main(argv=None) -> int:
 
     from umx_tpu.config import DSPConfig
 
+    if args.wiener_psd == "umxcpp" and args.wiener_impl == "pallas":
+        print("umx-tpu: --wiener-psd umxcpp requires --wiener-impl einsum "
+              "(the Pallas kernels implement the correct-PSD semantics only)",
+              file=sys.stderr)
+        return 2
+
     cfg = EngineConfig(
-        model=ModelConfig(input_scaling=args.input_scaling),
+        model=ModelConfig(
+            input_scaling=args.input_scaling, lstm_impl=args.lstm_impl
+        ),
         dsp=DSPConfig(
             dft_precision=args.dft_precision,
             idft_precision=args.idft_precision,
             iframes_dtype=args.iframes_dtype,
+            istft_algo=args.istft_algo,
         ),
         mask_dtype=args.mask_dtype,
+        stream_impl=args.stream_impl,
         segment=SegmentConfig(
             segment_secs=args.segment_secs,
             overlap=args.overlap,
             streaming=not args.no_streaming,
+            chunk_batch=args.chunk_batch,
         ),
-        wiener=WienerConfig(iterations=args.wiener_iters, psd=args.wiener_psd),
+        wiener=WienerConfig(
+            iterations=args.wiener_iters,
+            psd=args.wiener_psd,
+            impl=args.wiener_impl,
+            out_dtype=args.wiener_out_dtype,
+        ),
         use_wiener=not args.no_wiener,
         shifts=args.shifts,
         matmul_precision=args.matmul_precision,
