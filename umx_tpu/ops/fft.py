@@ -107,8 +107,24 @@ def irdft(
     n_bins = n_fft // 2 + 1
     w = jnp.full((n_bins,), 2.0 / n_fft, jnp.float32)
     w = w.at[0].set(1.0 / n_fft).at[-1].set(1.0 / n_fft)
-    out = _dot(re.astype(jnp.float32) * w, cos_m, precision, transpose_b=True) - _dot(
-        im.astype(jnp.float32) * w, sin_m, precision, transpose_b=True
+    # The conjugate-symmetry/1/N weights are per-BIN (the contraction
+    # axis), so they fold into the constant matrices' columns instead of
+    # pre-scaling the operand — the spectra feed the dot straight from
+    # storage (no read-modify-write pass over the 170 MB y planes).
+    cos_m = cos_m * w[None, :]
+    sin_m = sin_m * w[None, :]
+    if precision == "default" and re.dtype == jnp.bfloat16:
+        # single-pass MXU path: bf16 Wiener outputs feed the matmul
+        # as-is (a float32 promotion would just re-materialize the cast
+        # the out_dtype=bfloat16 emission avoided); the constants are
+        # bf16-rounded exactly once, same class as the DEFAULT feed
+        cos_m = cos_m.astype(jnp.bfloat16)
+        sin_m = sin_m.astype(jnp.bfloat16)
+        a_re, a_im = re, im
+    else:
+        a_re, a_im = re.astype(jnp.float32), im.astype(jnp.float32)
+    out = _dot(a_re, cos_m, precision, transpose_b=True) - _dot(
+        a_im, sin_m, precision, transpose_b=True
     )
     return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
