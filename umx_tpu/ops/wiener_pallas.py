@@ -48,6 +48,24 @@ Array = jax.Array
 _LANES = 128
 
 
+def _vmem_limit(K: int, F: int, S: int, mask_bytes: int, out_bytes: int) -> int:
+    """Scoped-VMEM budget for one grid step of the reduce/apply pair.
+
+    Sized from the double-buffered block footprint (x planes f32, mask
+    planes in their storage dtype, y outputs in ``out_dtype``) plus
+    working-vreg slack, clamped to [16 MB, 96 MB] (the chip's scoped
+    hard limit is ~96 MB — PERF.md "composition saga").  Keeping the
+    limit proportional to ``time_block`` lets the block-size knob be
+    swept without hand-editing the budget; the historical 16 MB floor
+    preserved the round-2 eviction fix at the default block size."""
+    x_blk = 2 * 2 * K * F * 4          # xre + xim refs
+    m_blk = 2 * S * K * F * mask_bytes  # two mask-channel (or y) refs
+    y_blk = 2 * S * 2 * K * F * out_bytes
+    per_step = 2 * (x_blk + m_blk + y_blk)  # double-buffered pipeline
+    slack = 8 * 1024 * 1024
+    return max(16 * 1024 * 1024, min(96 * 1024 * 1024, per_step + slack))
+
+
 def _pad_to(x: Array, axis: int, mult: int) -> Array:
     size = x.shape[axis]
     pad = (-size) % mult
@@ -294,7 +312,9 @@ def wiener_planes_pallas(
     racc_shape = jax.ShapeDtypeStruct((4 * S, F), jnp.float32)
     y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
     y_shape_out = jax.ShapeDtypeStruct((S, 2, Tp, F), out_dtype)
-    params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_limit(K, F, S, 4, jnp.dtype(out_dtype).itemsize)
+    )
 
     def reduce_mags(xre_p, xim_p, mags_p):
         return pl.pallas_call(
@@ -420,7 +440,11 @@ def wiener_planes_from_masks(
     y_spec = pl.BlockSpec((S, 2, K, F), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM)
     racc_spec = pl.BlockSpec((4 * S, F), lambda b: (0, 0), memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
-    params = pltpu.CompilerParams(vmem_limit_bytes=16 * 1024 * 1024)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_limit(
+            K, F, S, jnp.dtype(masks.dtype).itemsize, jnp.dtype(out_dtype).itemsize
+        )
+    )
     y_shape = jax.ShapeDtypeStruct((S, 2, Tp, F), jnp.float32)
     y_shape_out = jax.ShapeDtypeStruct((S, 2, Tp, F), out_dtype)
 
