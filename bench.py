@@ -40,7 +40,45 @@ import sys
 import time
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Block until the device backend initializes (or give up quietly).
+
+    The axon TPU tunnel is occasionally UNAVAILABLE for minutes at a
+    time; a failed init is cached for the life of the process, so the
+    probe runs in a subprocess and the parent only imports jax once a
+    probe succeeds.  On CPU (tests / forced platforms) the first probe
+    succeeds immediately.  If the backend never comes up we fall
+    through and let the real run raise the real error."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                f"# backend probe gave up after {attempt} attempts", file=sys.stderr
+            )
+            return
+        print(
+            f"# backend unavailable (attempt {attempt}); retrying in 30 s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+
+
 def main() -> int:
+    _wait_for_backend()
     import jax
 
     # persistent compile cache: axon-tunnel compiles are slow (tens of
