@@ -281,3 +281,31 @@ def test_pallas_from_masks_vmap_batches():
     solo = wiener_filter_masks(xre[1], xim[1], masks[1], F, cfg)
     np.testing.assert_allclose(np.asarray(yre[1]), np.asarray(solo[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(yim[1]), np.asarray(solo[1]), atol=1e-5)
+
+
+def test_pallas_from_masks_time_block_invariant(spec_data):
+    # time_block only changes the kernels' grid blocking (and the f32
+    # racc summation order); the result must be block-size invariant.
+    # Guards the perf-swept default (scripts/wiener_block_sweep.py) —
+    # any tb the sweep picks has to be a pure scheduling choice.
+    from umx_tpu.ops.wiener import wiener_filter_masks
+
+    mix, mags = spec_data
+    S, _, T, F = mags.shape
+    mag = np.abs(mix)
+    masks = (
+        (mags / np.maximum(mag[None], 1e-12))
+        .transpose(0, 2, 1, 3)
+        .reshape(S, T, 2 * F)
+        .astype(np.float32)
+    )
+    outs = []
+    for tb in (8, 16, 64):
+        cfg = dataclasses.replace(
+            WienerConfig(), impl="pallas_interpret", time_block=tb
+        )
+        yre, yim = wiener_filter_masks(mix.real.copy(), mix.imag.copy(), masks, F, cfg)
+        outs.append(np.asarray(yre) + 1j * np.asarray(yim))
+    scale = np.abs(mix).max()
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-5 * scale, rtol=1e-5)
