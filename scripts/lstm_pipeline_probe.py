@@ -135,6 +135,34 @@ def main() -> int:
     b8, b24 = results["bat8"], results["bat24"]
     print(f"# pipeline win per chunk (bat): {b8 / (b24 / 3.0):.2f}x "
           f"(C24/C8 = {b24 / b8:.2f})")
+
+    # ---- the REAL kernel: _merged_rows at R=8 vs R=24 chains -----------
+    # This is exactly the invocation a pipelined track program would
+    # make (3 layers' weight sets stacked into R=24, B=1) — no kernel
+    # rewrite involved, _merged_rows is general over R.
+    from umx_tpu.ops.lstm_pallas import _merged_rows
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    Tk = 8 if interpret else 512  # interpret mode is ~1000x slower
+    for R in (8, 16, 24):
+        xp = jnp.asarray(
+            rng.standard_normal((Tk, R, 4 * G)).astype(np.float32) * 0.05
+        )
+        hh = jnp.asarray(
+            rng.standard_normal((R, G, 4 * G)).astype(np.float32) * 0.05
+        )
+        h0 = jnp.zeros((R, G), jnp.float32)
+        c0 = jnp.zeros((R, G), jnp.float32)
+
+        def run(xp, hh, h0, c0, R=R):
+            return _merged_rows(xp, hh, h0, c0, 1, 16, interpret)[0]
+
+        us = timeit(run, xp, hh, h0, c0) / Tk * 1e6
+        results[f"kernel_R{R}"] = us
+        print(f"kernel R={R:2d}: {us:7.2f} us/step", flush=True)
+    k8, k24 = results["kernel_R8"], results["kernel_R24"]
+    print(f"# KERNEL pipeline win per chunk: {k8 / (k24 / 3.0):.2f}x "
+          f"(C24/C8 = {k24 / k8:.2f}; 1.0 = full hiding, 3.0 = dead)")
     print(json.dumps(results))
     return 0
 
