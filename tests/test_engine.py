@@ -460,3 +460,65 @@ def test_host_only_cfg_fields_do_not_recompile():
     assert mid == before + 1
     assert after == mid  # no recompiles for host-only field changes
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_stream_pipelined_matches_scan_program(cfg, audio):
+    """The cross-chunk layer-pipelined streaming program (iteration i
+    runs L1(chunk i) | L2(chunk i-1) | L3(chunk i-2) as one merged
+    kernel call — ``stream_impl="pipelined"``) must reproduce the
+    sequential scan program: stems AND final streaming state.  Both
+    sides run the merged kernel (interpret mode on CPU) so the
+    comparison isolates the SCHEDULE, not the kernel's bf16 hh cast."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from umx_tpu.engine.separator import (
+        demix_fused,
+        demix_fused_stream_pipelined,
+    )
+    from umx_tpu.models.umx import init_lstm_state
+
+    c = cfg.replace(model=dataclasses.replace(cfg.model, lstm_impl="pallas_interpret"))
+    params = synthetic_params(c.model, seed=0)
+    seg = c.segment.segment_samples(44100)
+    stride = c.segment.stride_samples(44100)
+    length = audio.shape[1]
+    n = max(1, math.ceil(length / stride))  # 4 chunks for the 2.5 s fixture
+    padded = (n - 1) * stride + seg
+    audio_p = jnp.pad(jnp.asarray(audio, jnp.float32), ((0, 0), (0, padded - length)))
+
+    ref, ref_st = demix_fused(
+        params, audio_p, init_lstm_state(c.model), c, n, seg, stride
+    )
+    ref, ref_st = np.asarray(ref), jax.tree.map(np.asarray, ref_st)
+    out, st = demix_fused_stream_pipelined(
+        params, audio_p, init_lstm_state(c.model), c, n, seg, stride
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.h), ref_st.h, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.c), ref_st.c, atol=1e-5)
+
+    # a NONZERO incoming state must thread into the right layer-stages
+    # at pipeline fill (chunk 0's layer l starts from state[:, l])
+    rng = np.random.default_rng(7)
+    sh = init_lstm_state(c.model).h.shape
+    h_np = rng.standard_normal(sh).astype(np.float32) * 0.1
+    c_np = rng.standard_normal(sh).astype(np.float32) * 0.1
+    # demix_fused DONATES its state arg — each call gets its own copy
+    mk_st = lambda: dataclasses.replace(
+        init_lstm_state(c.model), h=jnp.asarray(h_np), c=jnp.asarray(c_np)
+    )
+    ref2, ref2_st = demix_fused(params, audio_p, mk_st(), c, n, seg, stride)
+    out2, st2 = demix_fused_stream_pipelined(params, audio_p, mk_st(), c, n, seg, stride)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st2.h), np.asarray(ref2_st.h), atol=1e-5)
+
+    # the config knob routes the full demix through the pipelined program
+    params2 = synthetic_params(c.model, seed=0)
+    o_scan = Separator(params2, c).demix(audio, fused=True)
+    o_pipe = Separator(params2, c.replace(stream_impl="pipelined")).demix(
+        audio, fused=True
+    )
+    np.testing.assert_allclose(o_pipe, o_scan, atol=1e-5)

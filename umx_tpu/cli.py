@@ -109,11 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--stream-impl",
-        choices=("scan", "groups"),
+        choices=("scan", "groups", "pipelined"),
         default="scan",
         help="streaming track program (scan = fused sequential scan, "
         "the measured winner; groups = split-phase A/B arm: state-free "
-        "pre/post vmapped across chunk groups, recurrence-only chain)",
+        "pre/post vmapped across chunk groups, recurrence-only chain; "
+        "pipelined = cross-chunk layer-pipeline A/B arm: 3 layer-stages "
+        "of different chunks per merged-kernel call, identical math)",
     )
     p.add_argument(
         "--chunk-batch",

@@ -252,7 +252,13 @@ class EngineConfig:
     # (45.2 vs 41.6 ms/chunk: batching only helps the issue-bound LSTM
     # kernel, which streaming forbids folding, and the group-concat
     # overlap-add form costs an extra pass); kept as an A/B arm.
-    stream_impl: Literal["scan", "groups"] = "scan"
+    # "pipelined" = cross-chunk LAYER pipelining: iteration i runs
+    # L1(chunk i) | L2(chunk i-1) | L3(chunk i-2) as ONE merged-kernel
+    # call (3x the weight-distinct chains per dependent recurrence
+    # step; identical math — only WITHIN a chunk are the bidirectional
+    # layers serial).  Dense weights + the merged kernel only;
+    # standalone feasibility probe: scripts/lstm_pipeline_probe.py.
+    stream_impl: Literal["scan", "groups", "pipelined"] = "scan"
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -32,12 +32,15 @@ from umx_tpu.models.umx import (
     LSTMState,
     UMXParams,
     init_lstm_state,
+    resolve_lstm_impl,
     umx_forward,
     umx_post,
     umx_pre,
     umx_recurrence,
+    umx_recurrence_pipelined_step,
 )
 from umx_tpu.ops import stft as stft_ops
+from umx_tpu.ops.qmatmul import QTensor
 from umx_tpu.ops.wiener import wiener_filter_masks
 
 Array = jax.Array
@@ -418,6 +421,95 @@ def demix_fused_stream_groups(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride")
+)
+def _demix_fused_stream_pipelined_jit(
+    params: UMXParams,
+    audio_p: Array,
+    state: LSTMState,
+    cfg: EngineConfig,
+    n_chunks: int,
+    seg: int,
+    stride: int,
+) -> tuple[Array, LSTMState]:
+    """STREAMING whole-track demix with the recurrence LAYER-PIPELINED
+    across the chunk sequence (``EngineConfig.stream_impl="pipelined"``).
+
+    Iteration i runs L1(chunk i) | L2(chunk i-1) | L3(chunk i-2) as ONE
+    merged-kernel call (chains stacked into the kernel's weight-distinct
+    chain axis, R = stages*targets*2 — models/umx.py::
+    umx_recurrence_pipelined_step).  Semantics are EXACTLY the
+    reference's streaming LSTM (state flows chunk k → k+1 per layer, in
+    order, umx.cpp:167-171); only the schedule changes — asserted equal
+    to the scan program (stems AND final state) in tests/test_engine.py.
+
+    Pipeline fill/drain adds L-1 = 2 partial iterations; edge iterations
+    stack only their ACTIVE stages (R = 8/16/24), so no wasted chain
+    compute — at most 3 kernel shapes compile.  Whether the fused R=24
+    step beats 3 serial R=8 steps is the latency-hiding question
+    scripts/lstm_pipeline_probe.py measures standalone.
+    """
+    assert cfg.segment.streaming, "the pipelined schedule is the streaming path"
+    padded_len = audio_p.shape[-1]
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    mcfg = cfg.model
+    L = mcfg.n_lstm_layers
+    # the pipelined stage call IS the merged kernel (stacked chains);
+    # off-TPU it runs in interpret mode (slow, correct — tests/CPU A/B)
+    impl = resolve_lstm_impl(mcfg.lstm_impl)
+    interpret = impl != "pallas_merged"
+
+    pre_buf = {}  # chunk k -> (re, im, x1), alive until its post runs
+    stage_in = {}  # (layer l, chunk k) -> layer input, alive one iteration
+    stage_st = {
+        l: (state.h[:, l], state.c[:, l]) for l in range(L)
+    }  # per-layer streaming chain, flows iteration -> iteration
+    ys: list = [None] * n_chunks
+    for i in range(n_chunks + L - 1):
+        if i < n_chunks:
+            chunk = jax.lax.dynamic_slice(audio_p, (0, i * stride), (2, seg))
+            re_, im_, x1_ = _segment_pre_impl(params, chunk, cfg)
+            pre_buf[i] = (re_, im_, x1_)
+            stage_in[(0, i)] = x1_
+        layers, inputs, states = [], [], []
+        for l in range(L):
+            k = i - l
+            if 0 <= k < n_chunks:
+                layers.append(l)
+                inputs.append(stage_in.pop((l, k)))
+                states.append(stage_st[l])
+        outs, new_states = umx_recurrence_pipelined_step(
+            params, inputs, states, layers, mcfg, cfg.matmul_precision, interpret
+        )
+        for s, l in enumerate(layers):
+            k = i - l
+            stage_st[l] = new_states[s]
+            if l + 1 < L:
+                stage_in[(l + 1, k)] = outs[s]
+            else:
+                re_, im_, x1_ = pre_buf.pop(k)
+                ys[k] = _segment_post_impl(
+                    params, re_, im_, x1_, outs[s], cfg, seg
+                )
+
+    ys_arr = jnp.stack(ys) * weight  # (n_chunks, T#, 2, seg)
+    final = LSTMState(
+        h=jnp.stack([stage_st[l][0] for l in range(L)], axis=1),
+        c=jnp.stack([stage_st[l][1] for l in range(L)], axis=1),
+    )
+    return _normalized_overlap_add(ys_arr, weight, stride, padded_len, cfg), final
+
+
+def demix_fused_stream_pipelined(
+    params, audio_p, state, cfg: EngineConfig, n_chunks: int, seg: int, stride: int
+):
+    """Jitted layer-pipelined streaming whole-track demix (impl above)."""
+    return _demix_fused_stream_pipelined_jit(
+        params, audio_p, state, _device_cfg(cfg), n_chunks, seg, stride
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch")
 )
 def _demix_fused_parallel_jit(
@@ -608,6 +700,19 @@ class Separator:
                 out, _ = demix_fused_stream_groups(
                     self.params, audio_p, state, cfg, n_chunks, seg, stride,
                     chunk_batch=min(cb, n_chunks),
+                )
+            elif (
+                cfg.stream_impl == "pipelined"
+                and n_chunks > 1
+                and not isinstance(self.params.lstm_hh_w, QTensor)
+            ):
+                # A/B arm: cross-chunk layer pipelining — same streaming
+                # math, the recurrence runs 3 layer-stages of different
+                # chunks per merged-kernel call (see config.stream_impl).
+                # Quantized-HBM weights keep the scan (stage stacking
+                # needs dense hh planes); off-TPU the kernel interprets.
+                out, _ = demix_fused_stream_pipelined(
+                    self.params, audio_p, state, cfg, n_chunks, seg, stride
                 )
             else:
                 out, _ = demix_fused(

@@ -581,6 +581,85 @@ def umx_recurrence(
     return _recurrence_scan(params, x1, state, cfg, spec)
 
 
+def umx_recurrence_pipelined_step(
+    params: UMXParams,
+    stage_inputs: list,
+    stage_states: list,
+    layers: list,
+    cfg: ModelConfig,
+    compute="default",
+    interpret: bool = False,
+) -> tuple[list, list]:
+    """One iteration of the cross-chunk LAYER-PIPELINED streaming
+    recurrence (`stream_impl="pipelined"`; rationale in
+    scripts/lstm_pipeline_probe.py).
+
+    Each ACTIVE stage runs LSTM layer ``layers[s]`` on a DIFFERENT
+    chunk's data: layer l of chunk k only needs layer l-1 of chunk k
+    (one pipeline iteration earlier) and its own layer-l state from
+    chunk k-1 (the previous iteration's stage-l output), so the
+    schedule L1(k) | L2(k-1) | L3(k-2) is mathematically identical to
+    the serial streaming program — PERF.md's "layers are inherently
+    serial" argument binds only WITHIN one chunk (a bidirectional layer
+    needs its own chunk's full previous-layer sequence).  Stacking the
+    stages into the merged kernel's chain axis (R = stages*targets*2)
+    triples the independent weight-distinct chains per dependent step;
+    whether the hardware hides the chain latency is the probe's
+    question.
+
+    stage_inputs: per-stage (T#, T, H) layer inputs (layer 0: umx_pre's
+    x1 of the newest chunk; layer l>0: layer l-1's output of an older
+    chunk).  stage_states: per-stage (h, c) each (T#, D, G).  layers:
+    which LSTM layer each stage runs.  Dense weights only (the
+    quantized-HBM path keeps the serial scan — guard in the caller).
+    Returns (per-stage outputs (T#, T, 2G), per-stage new (h, c)).
+    """
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas_merged
+
+    spec = resolve_compute(compute)
+    dtype, prec = spec
+    S = len(layers)
+    assert S == len(stage_inputs) == len(stage_states) and S >= 1
+    # (S, T#, D, T, H): forward rows + time-reversed rows per stage
+    xs = jnp.stack(
+        [jnp.stack([x, x[:, ::-1]], axis=1) for x in stage_inputs]
+    )
+    ih_w = jnp.stack([params.lstm_ih_w[:, l] for l in layers])  # (S,T#,D,H,4G)
+    proj = jnp.einsum(
+        "sjdti,sjdig->sjtdg",
+        xs.astype(dtype),
+        ih_w.astype(dtype),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    bias = jnp.stack(
+        [params.lstm_ih_b[:, l] + params.lstm_hh_b[:, l] for l in layers]
+    )  # (S, T#, D, 4G)
+    x_proj = proj + bias[:, :, None]  # (S, T#, T, D, 4G)
+    hh = jnp.stack([params.lstm_hh_w[:, l] for l in layers])  # (S,T#,D,G,4G)
+
+    Sn, Tn, T, D, G4 = x_proj.shape
+    G = G4 // 4
+    hs, hT, cT = lstm_layer_pallas_merged(
+        x_proj.reshape(Sn * Tn, T, D, G4),
+        hh.reshape(Sn * Tn, D, G, G4),
+        jnp.concatenate([h for h, _ in stage_states], axis=0),
+        jnp.concatenate([c for _, c in stage_states], axis=0),
+        time_block=cfg.lstm_time_block,
+        interpret=interpret,
+    )
+    outs, new_states = [], []
+    for s in range(Sn):
+        hss = hs[s * Tn : (s + 1) * Tn]  # (T#, T, D, G)
+        outs.append(
+            jnp.concatenate([hss[:, :, 0], hss[:, ::-1, 1]], axis=-1)
+        )
+        new_states.append(
+            (hT[s * Tn : (s + 1) * Tn], cT[s * Tn : (s + 1) * Tn])
+        )
+    return outs, new_states
+
+
 def umx_forward(
     params: UMXParams, x: Array, state: LSTMState, cfg: ModelConfig, compute="default"
 ) -> tuple[Array, LSTMState]:
