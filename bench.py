@@ -29,6 +29,8 @@ Env knobs:
   UMX_BENCH_QUANTIZED     (default 0; 1 = u8/u16 weights HBM-resident
                            with dequant fused into the gemms)
   UMX_BENCH_HIDDEN        (default 1024 = UMX-L; 512 = UMX-HQ)
+  UMX_BENCH_STREAM_IMPL   (scan | groups | pipelined — streaming track
+                           schedule A/B arms, config.stream_impl)
   UMX_TPU_MODEL           (optional path to a real ggml file)
 """
 
@@ -113,6 +115,7 @@ def main() -> int:
         use_wiener=use_wiener,
         matmul_precision=precision,
         ola_impl=os.environ.get("UMX_BENCH_OLA", "auto"),
+        stream_impl=os.environ.get("UMX_BENCH_STREAM_IMPL", "scan"),
     )
     wiener_tb = int(os.environ.get("UMX_BENCH_WIENER_TB", "0"))
     if wiener_tb:
@@ -252,6 +255,8 @@ def main() -> int:
             name += "_nostream"
         if quantized:
             name += "_qhbm"
+        if cfg.stream_impl != "scan":
+            name += f"_{cfg.stream_impl}"
         print(json.dumps({
             "metric": name,
             "value": round(xrt, 2),
