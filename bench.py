@@ -42,45 +42,67 @@ import sys
 import time
 
 
-def _wait_for_backend(max_wait_s: float = 900.0) -> None:
-    """Block until the device backend initializes (or give up quietly).
+def _wait_for_backend(max_wait_s: float | None = None) -> bool:
+    """Block until the device backend initializes; return success.
 
     The axon TPU tunnel is occasionally UNAVAILABLE for minutes at a
     time; a failed init is cached for the life of the process, so the
     probe runs in a subprocess and the parent only imports jax once a
     probe succeeds.  On CPU (tests / forced platforms) the first probe
-    succeeds immediately.  If the backend never comes up we fall
-    through and let the real run raise the real error."""
+    succeeds immediately.
+
+    The TOTAL wait is bounded by UMX_TPU_BACKEND_WAIT_S (default 240 s)
+    so a driver-budgeted run never times out as an rc=124 corpse: on
+    give-up the caller emits one machine-readable JSON error line
+    instead (round-3 VERDICT #1 — BENCH_r03.json was unparseable
+    because a 900 s wait blew the driver's capture budget)."""
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("UMX_TPU_BACKEND_WAIT_S", "240"))
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            print(
+                f"# backend probe gave up after {attempt - 1} attempts", file=sys.stderr
+            )
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=240,
+                timeout=min(120, max(5, remaining)),
                 capture_output=True,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
+        if time.time() + 15 > deadline:
             print(
                 f"# backend probe gave up after {attempt} attempts", file=sys.stderr
             )
-            return
+            return False
         print(
-            f"# backend unavailable (attempt {attempt}); retrying in 30 s",
+            f"# backend unavailable (attempt {attempt}); retrying in 15 s",
             file=sys.stderr,
         )
-        time.sleep(30)
+        time.sleep(15)
 
 
 def main() -> int:
-    _wait_for_backend()
+    if not _wait_for_backend():
+        # parseable failure artifact for the driver (never an rc=124 corpse)
+        print(json.dumps({
+            "metric": "xRT_umxl_whole_track_fused",
+            "value": None,
+            "unit": "audio_sec_per_wall_sec",
+            "vs_baseline": None,
+            "error": "backend_unavailable",
+        }))
+        return 0
     import jax
 
     # persistent compile cache: axon-tunnel compiles are slow (tens of
