@@ -58,6 +58,10 @@ class SegmentBatcher:
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
+        # worker-local FIFO of jobs skipped by the coalescing pass; an
+        # instance attribute (not a _loop local) so queue_depth() can
+        # count waiting work that already left the queue
+        self._pending: list = []
         self._fns: dict[Any, Any] = {}
         self.stats = BatcherStats()
         self._stats_lock = threading.Lock()
@@ -120,7 +124,7 @@ class SegmentBatcher:
         mixed-shape traffic indefinitely)."""
         import time
 
-        pending: list = []  # worker-local, FIFO by arrival
+        pending = self._pending  # instance list: queue_depth() counts it
         while not self._stop:
             if not pending:
                 item = self._q.get()
@@ -144,7 +148,7 @@ class SegmentBatcher:
                     group.append(it)
                 else:
                     rest.append(it)
-            pending = rest
+            pending[:] = rest
             if len(group) < self.max_batch and self.max_batch > 1 and not pending:
                 # brief coalescing wait for same-key arrivals — skipped
                 # whenever older different-key jobs are already waiting,
@@ -197,7 +201,11 @@ class SegmentBatcher:
         return min(frac, 1.0)
 
     def queue_depth(self) -> int:
-        return self._q.qsize()
+        """Waiting jobs: still-queued PLUS those the fairness pass moved
+        to the worker-local pending FIFO (round-3 advisor: counting only
+        qsize() under-reports exactly under sustained mixed-shape
+        traffic, starving the autoscaling signal)."""
+        return self._q.qsize() + len(self._pending)
 
     def _execute(self, key, group):
         import time

@@ -171,7 +171,9 @@ def decode_mp3(path: str) -> Optional[tuple[np.ndarray, int]]:
                 # are beyond the gapless contract — reject them
                 if lib.mpg123_getformat(h, ctypes.byref(rate_l), ctypes.byref(channels),
                                         ctypes.byref(encoding)) != _OK or (
-                    int(rate_l.value) != rate or int(channels.value) != n_ch
+                    int(rate_l.value) != rate
+                    or int(channels.value) != n_ch
+                    or int(encoding.value) != _ENC_FLOAT_32
                 ):
                     raise ValueError(f"{path}: mid-stream format change unsupported")
                 continue

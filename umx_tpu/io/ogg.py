@@ -12,7 +12,8 @@ no headers required.  Only two struct layouts are touched:
 
 * ``OggVorbis_File`` is treated as opaque: callers pass a buffer that
   only libvorbisfile reads/writes internally, so we over-allocate
-  (the real struct is ~944 bytes on LP64; we hand it 4096).
+  (the real struct is ~944 bytes on LP64; we hand it ``_VF_ALLOC`` =
+  65536 bytes of slack).
 * ``vorbis_info`` field offsets for ``channels`` (int, offset 4) and
   ``rate`` (long, offset 8) — fixed by the published ABI since 2000.
 

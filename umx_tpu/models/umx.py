@@ -308,9 +308,17 @@ def resolve_compute(name) -> tuple[jnp.dtype, jax.lax.Precision]:
     already-resolved (dtype, precision) tuple (idempotent)."""
     if isinstance(name, tuple):
         return name
-    if name in _COMPUTE_SPECS or isinstance(name, str):
-        dtype, prec = _COMPUTE_SPECS[str(name)]
-        return jnp.dtype(dtype), prec
+    if isinstance(name, str):
+        if name in _COMPUTE_SPECS:
+            dtype, prec = _COMPUTE_SPECS[name]
+            return jnp.dtype(dtype), prec
+        try:  # legacy direct-dtype convention ('float16', ...)
+            return jnp.dtype(name), jax.lax.Precision.DEFAULT
+        except TypeError:
+            raise ValueError(
+                f"unknown compute spec {name!r}; valid names: "
+                f"{sorted(_COMPUTE_SPECS)} or any dtype name"
+            ) from None
     return jnp.dtype(name), jax.lax.Precision.DEFAULT
 
 
