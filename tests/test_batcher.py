@@ -36,6 +36,7 @@ def setup():
     return cfg, params, state, (n_a, audio_a), (n_b, audio_b)
 
 
+@pytest.mark.slow
 def test_minority_shape_not_starved(setup):
     """A minority-shape job enqueued MID-STREAM must execute before every
     majority-shape job enqueued after it (oldest-job-first group
@@ -88,6 +89,7 @@ def test_minority_shape_not_starved(setup):
         batcher.close()
 
 
+@pytest.mark.slow
 def test_coalesces_same_shape(setup):
     cfg, params, state, (n_a, audio_a), _ = setup
     batcher = SegmentBatcher(max_batch=4, max_wait_ms=50.0)

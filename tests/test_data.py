@@ -63,6 +63,7 @@ def test_missing_root_raises(tmp_path):
         StemDataset(str(tmp_path / "empty"), excerpt_samples=100)
 
 
+@pytest.mark.slow
 def test_train_loop_runs_and_improves(stem_root):
     from umx_tpu.config import ModelConfig
     from umx_tpu.train import TrainConfig
@@ -96,6 +97,7 @@ def test_fixed_batches_deterministic_and_aligned(stem_root):
         np.testing.assert_allclose(ma, ta.sum(axis=1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_loop_validation_recipe(stem_root):
     """With lr=0 the loss is constant, so the first validation sets the
     best and every later one is non-improving: early stop must fire and

@@ -68,6 +68,7 @@ def test_short_track_single_segment(sep):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_streaming_vs_reset_differ(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)
     s_stream = Separator(params, cfg)
@@ -123,6 +124,7 @@ def test_fused_matches_host_loop(sep, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_non_streaming_short_track_single_chunk(cfg):
     # parallel-segments path with fewer chunks than the chunk batch
     params = synthetic_params(cfg.model, seed=0)
@@ -147,6 +149,7 @@ def test_fused_matches_host_loop_no_streaming(cfg, audio):
     np.testing.assert_allclose(fused, looped, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bf16_fast_path_knobs_match_f32(cfg, audio):
     """The round-3 TPU fast-path knobs (bf16 Wiener y emission + the
     inverse-transform precision knob) run end-to-end and stay within
@@ -184,6 +187,7 @@ def test_bf16_fast_path_knobs_match_f32(cfg, audio):
     np.testing.assert_allclose(out2, ref, atol=2e-2 * peak)
 
 
+@pytest.mark.slow
 def test_multi_shift_averaging(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)
     s2 = Separator(params, dataclasses.replace(cfg, shifts=2))
@@ -223,6 +227,7 @@ def test_parallel_chunks_variant_matches_host_loop(cfg, audio):
     np.testing.assert_allclose(out[..., :length], looped, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_batch_config_width_equal(cfg, audio):
     """SegmentConfig.chunk_batch (round 3) picks the non-streaming fused
     group width; any width must produce the same stems as the host loop
@@ -241,6 +246,7 @@ def test_chunk_batch_config_width_equal(cfg, audio):
         np.testing.assert_allclose(out, looped, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_groups_matches_scan_program(cfg, audio):
     """The split-phase streaming program (pre/post batched per group,
     ONLY the recurrence chained — kept as an A/B arm via
@@ -291,6 +297,7 @@ def test_stream_groups_matches_scan_program(cfg, audio):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_shifts_equal_sequential(cfg, audio):
     """shifts=N auto-batches the N shifted copies through one fused
     program; the result must equal the sequential per-pass host loop."""
@@ -462,6 +469,7 @@ def test_host_only_cfg_fields_do_not_recompile():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_stream_pipelined_matches_scan_program(cfg, audio):
     """The cross-chunk layer-pipelined streaming program (iteration i
     runs L1(chunk i) | L2(chunk i-1) | L3(chunk i-2) as one merged

@@ -35,6 +35,7 @@ def tracks():
     ]
 
 
+@pytest.mark.slow
 def test_fleet_matches_per_track(cfg, params, tracks):
     mesh = make_mesh(dp=8, tp=1)
     outs = demix_tracks(params, tracks, cfg, mesh=mesh)
@@ -52,6 +53,7 @@ def test_fleet_no_mesh(cfg, params, tracks):
         assert o.shape == (4, 2, t.shape[1])
 
 
+@pytest.mark.slow
 def test_fleet_with_shifts(cfg, params, tracks):
     import dataclasses
 

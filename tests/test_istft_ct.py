@@ -53,6 +53,7 @@ class TestCT2Stages:
         want = _dense_frames(re, im, 4096, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
+    @pytest.mark.slow
     def test_fused_interpret_matches_xla_arm(self):
         # the fused natural-layout kernel (+ permuted-flat OLA) against
         # the einsum arm (+ 4D permuted OLA): same signal, different
@@ -65,6 +66,7 @@ class TestCT2Stages:
         assert got.shape == want.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_pads_ragged_frame_count(self):
         # T=37 is not a multiple of the kf=8 frame block
         re, im = _random_planes(t=37, lead=(3,), seed=2)
@@ -73,6 +75,7 @@ class TestCT2Stages:
         got = istft_ct.istft_ct2_fused(re, im, 4096, 1024, window=None, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_block_sizes_agree(self):
         re, im = _random_planes(t=24, seed=5)
         a = istft_ct.istft_ct2_fused(re, im, 4096, 1024, kf=16, interpret=True)
@@ -94,7 +97,10 @@ class TestPermutedOLA:
 
 
 class TestEndToEnd:
-    @pytest.mark.parametrize("algo", ["ct2_xla", "ct2_interpret"])
+    @pytest.mark.parametrize(
+        "algo",
+        ["ct2_xla", pytest.param("ct2_interpret", marks=pytest.mark.slow)],
+    )
     def test_istft_planes_ct2_matches_dense(self, algo):
         cfg = DSPConfig(fft_impl="matmul", dft_precision="highest")
         rng = np.random.default_rng(7)

@@ -100,6 +100,7 @@ def test_kernel_layer_matches_scan_layer():
     del jax
 
 
+@pytest.mark.slow
 def test_merged_kernel_matches_blocked_kernel():
     from umx_tpu.ops.lstm_pallas import lstm_layer_pallas, lstm_layer_pallas_merged
 
@@ -132,6 +133,7 @@ def test_blocked_kernel_partial_final_block():
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_merged_kernel_batch_native_vmap():
     """vmap over the merged kernel folds the mapped axis into matmul
     rows (custom_vmap rule) and must match per-example invocation, for

@@ -57,6 +57,7 @@ def test_partition_defaults_to_jax_process(monkeypatch):
     assert partition_tracks(6) == list(range(6))  # 1 process owns all
 
 
+@pytest.mark.slow
 def test_two_simulated_hosts_union_equals_single_fleet(cfg, params, tracks):
     ref = demix_tracks(params, tracks, cfg)
     combined: dict[int, np.ndarray] = {}

@@ -85,6 +85,7 @@ def _tpu_shaped(cfg):
     return cfg.replace(dsp=dataclasses.replace(cfg.dsp, fft_impl="matmul"))
 
 
+@pytest.mark.slow
 def test_dp_fleet_hlo_has_no_collectives(cfg, params):
     """The dp fleet plan promises zero cross-chip communication inside a
     track's forward (mesh.py docstring); assert it on the compiled HLO."""
@@ -99,6 +100,7 @@ def test_dp_fleet_hlo_has_no_collectives(cfg, params):
     assert found == [], "collectives in dp hot path:\n" + "\n".join(found)
 
 
+@pytest.mark.slow
 def test_tp_inference_collectives_are_small_combines_only(cfg, params):
     """tp target sharding communicates ONLY at the target-combine points:
     per-target mask all-gathers and the Wiener mixture re-estimate's
@@ -122,6 +124,7 @@ def test_tp_inference_collectives_are_small_combines_only(cfg, params):
     assert len(found) <= 4, "too many combine points:\n" + "\n".join(found)
 
 
+@pytest.mark.slow
 def test_training_step_dp_tp_loss_decreases(cfg, params):
     from umx_tpu.train import (
         TrainConfig,
@@ -152,6 +155,7 @@ def test_training_step_dp_tp_loss_decreases(cfg, params):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
 
@@ -162,6 +166,7 @@ def test_graft_entry_single_chip():
     assert jaxpr is not None
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

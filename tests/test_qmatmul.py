@@ -82,6 +82,7 @@ def test_quantized_params_structure(cfg, model):
     assert not isinstance(p.input_mean, QTensor)
 
 
+@pytest.mark.slow
 def test_quantized_forward_tracks_dequantized(cfg, model):
     rng = np.random.default_rng(103)
     x = (np.abs(rng.standard_normal((40, cfg.n_features))) * 0.3).astype(np.float32)

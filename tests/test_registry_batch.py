@@ -21,6 +21,7 @@ def test_registry_families():
         assert cfg.model.hidden_size == fam.hidden_size
 
 
+@pytest.mark.slow
 def test_batch_cli_end_to_end(tmp_path):
     from scipy.io import wavfile
 

@@ -226,6 +226,7 @@ def test_precision_auto_resolution(cfg):
         assert stft_ops._resolve_idft_precision(c) == "highest"
 
 
+@pytest.mark.slow
 def test_stft_ct_vs_dense_algo(cfg):
     import dataclasses
 

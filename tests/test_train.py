@@ -39,6 +39,7 @@ def batch(cfg, tcfg):
     return make_batch_from_audio(mix, targets, cfg, dsp, tcfg.seq_len)
 
 
+@pytest.mark.slow
 def test_unsharded_training_decreases_loss(cfg, tcfg, batch):
     import jax
 
@@ -52,6 +53,7 @@ def test_unsharded_training_decreases_loss(cfg, tcfg, batch):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_batchnorm_stats_frozen(cfg, tcfg, batch):
     """BN running stats are inference buffers: they must not move during
     training (AdamW on them can drive running_var negative -> NaN)."""
@@ -73,6 +75,7 @@ def test_batchnorm_stats_frozen(cfg, tcfg, batch):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_round_trip(tmp_path, cfg, tcfg):
     import jax
 
@@ -89,6 +92,7 @@ def test_checkpoint_round_trip(tmp_path, cfg, tcfg):
     assert int(restored.step) == int(state.step)
 
 
+@pytest.mark.slow
 def test_lr_is_runtime_settable(cfg, tcfg, batch):
     """The injected LR must change optimizer behavior without retracing:
     with lr=0 the trainable params stay EXACTLY put."""

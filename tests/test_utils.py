@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_stage_timer_accumulates_and_reports():
@@ -24,6 +25,7 @@ def test_stage_timer_accumulates_and_reports():
     assert parsed["a"]["calls"] == 2
 
 
+@pytest.mark.slow
 def test_device_trace_writes_profile(tmp_path):
     from umx_tpu.utils.profiling import device_trace
 

@@ -147,6 +147,7 @@ def test_pallas_matches_einsum_one_iteration(spec_data):
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_matches_einsum_two_iterations(spec_data):
     from umx_tpu.ops.wiener import wiener_filter_planes
 
@@ -162,6 +163,7 @@ def test_pallas_matches_einsum_two_iterations(spec_data):
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_bf16_output_dtype(spec_data):
     """out_dtype='bfloat16' emits bf16 y planes from the FINAL apply
     only (write-bandwidth trade, WienerConfig.out_dtype); values match
@@ -191,6 +193,7 @@ def test_pallas_bf16_output_dtype(spec_data):
         )
 
 
+@pytest.mark.slow
 def test_pallas_padding_shapes():
     # T and F far from lane/block multiples; padded bins must come back 0-free
     from umx_tpu.ops.wiener import wiener_filter, wiener_filter_planes
@@ -262,6 +265,7 @@ def test_pallas_from_masks_two_iterations(spec_data):
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_from_masks_vmap_batches():
     # demix_fused_parallel / the serving batcher vmap the segment program
     # over chunks — the pallas calls must compose with vmap
