@@ -100,6 +100,22 @@ def test_bad_magic_rejected():
         read_ggml_bytes(b"\x00\x00\x00\x00\x00\x00\x00\x00")
 
 
+def test_too_short_for_header_rejected():
+    # a <8-byte file must get the clean ValueError, not a struct.error
+    with pytest.raises(ValueError, match="too short"):
+        read_ggml_bytes(b"x")
+
+
+def test_truncated_dims_rejected():
+    # valid magic + hidden_size, then a tensor header whose dims are cut
+    import struct
+
+    blob = struct.pack("<ii", 0x756D7867, 32)
+    blob += struct.pack("<ffii", 1.0, 0.0, 2, 4) + b"\x01\x00"
+    with pytest.raises(ValueError, match="truncated.*dims"):
+        read_ggml_bytes(blob)
+
+
 def test_truncated_payload_rejected():
     cfg = ModelConfig(hidden_size=32)
     data = write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=9))

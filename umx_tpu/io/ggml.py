@@ -98,10 +98,15 @@ def read_ggml_bytes(
     total = len(data)
     f = io.BytesIO(data)
 
-    (magic,) = struct.unpack("<i", f.read(4))
+    head = f.read(8)
+    if len(head) < 8:
+        raise ValueError(
+            f"bad ggml file: {total} bytes is too short for the magic + "
+            f"hidden_size header"
+        )
+    magic, hidden_size = struct.unpack("<ii", head)
     if magic != GGML_MAGIC:
         raise ValueError(f"bad ggml magic {magic:#x}, expected {GGML_MAGIC:#x}")
-    (hidden_size,) = struct.unpack("<i", f.read(4))
 
     targets: list[dict[str, np.ndarray]] = [{}]
     raws: list[dict[str, tuple[np.ndarray, float, float]]] = [{}]
@@ -110,7 +115,15 @@ def read_ggml_bytes(
         if len(header) < 16:
             break
         scale, offset, n_dims, name_len = struct.unpack("<ffii", header)
-        dims = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+        if not 0 < n_dims <= 4 or not 0 < name_len <= 256:
+            raise ValueError(
+                f"bad ggml tensor header at byte {f.tell() - 16}: "
+                f"n_dims={n_dims} name_len={name_len}"
+            )
+        dim_bytes = f.read(4 * n_dims)
+        if len(dim_bytes) < 4 * n_dims:
+            raise ValueError("truncated ggml tensor header (dims)")
+        dims = struct.unpack(f"<{n_dims}i", dim_bytes)
         name = f.read(name_len).decode("utf-8")
         shape = tuple(reversed(dims))  # file stores reversed dims
         qtype = qtype_for(name)

@@ -57,13 +57,23 @@ def _vmem_limit(K: int, F: int, S: int, mask_bytes: int, out_bytes: int) -> int:
     hard limit is ~96 MB — PERF.md "composition saga").  Keeping the
     limit proportional to ``time_block`` lets the block-size knob be
     swept without hand-editing the budget; the historical 16 MB floor
-    preserved the round-2 eviction fix at the default block size."""
-    x_blk = 2 * 2 * K * F * 4          # xre + xim refs
-    m_blk = 2 * S * K * F * mask_bytes  # two mask-channel (or y) refs
-    y_blk = 2 * S * 2 * K * F * out_bytes
+    preserved the round-2 eviction fix at the default block size.
+
+    Dims are padded to the Mosaic tile grid (lanes 128, sublanes 8)
+    before sizing, and the sum carries a 25% scratch factor: the first
+    block-sweep run (round 4) hit Mosaic's compile-time stack check at
+    tb=64 — 26.65 MB actual vs a 24.01 MB unpadded-model budget —
+    because lane padding (2049 -> 2176) and kernel-internal temporaries
+    are real VMEM the linear model ignored."""
+    Kp = -(-K // 8) * 8
+    Fp = -(-F // _LANES) * _LANES
+    x_blk = 2 * 2 * Kp * Fp * 4          # xre + xim refs
+    m_blk = 2 * S * Kp * Fp * mask_bytes  # two mask-channel (or y) refs
+    y_blk = 2 * S * 2 * Kp * Fp * out_bytes
     per_step = 2 * (x_blk + m_blk + y_blk)  # double-buffered pipeline
     slack = 8 * 1024 * 1024
-    return max(16 * 1024 * 1024, min(96 * 1024 * 1024, per_step + slack))
+    budget = per_step + per_step // 4 + slack
+    return max(16 * 1024 * 1024, min(96 * 1024 * 1024, budget))
 
 
 def _pad_to(x: Array, axis: int, mult: int) -> Array:
