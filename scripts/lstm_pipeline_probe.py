@@ -148,9 +148,12 @@ def main() -> int:
         xp = jnp.asarray(
             rng.standard_normal((Tk, R, 4 * G)).astype(np.float32) * 0.05
         )
+        # bf16 hh, exactly as the production callers feed _merged_rows
+        # (_merged_batched_impl casts before the call); f32 at R=24 is
+        # 100.7 MB of weights alone and trips Mosaic's scoped-VMEM check
         hh = jnp.asarray(
             rng.standard_normal((R, G, 4 * G)).astype(np.float32) * 0.05
-        )
+        ).astype(jnp.bfloat16)
         h0 = jnp.zeros((R, G), jnp.float32)
         c0 = jnp.zeros((R, G), jnp.float32)
 
