@@ -113,6 +113,18 @@ def irdft(
     # storage (no read-modify-write pass over the 170 MB y planes).
     cos_m = cos_m * w[None, :]
     sin_m = sin_m * w[None, :]
+    # Nyquist split (even n_fft): contracting the odd K=n_bins=2049 pays
+    # a full extra K-tile of pad in every MXU pass — measured 15% of the
+    # inverse matmul pair (132.7 → 158.4 TF/s, 98% of the chip's
+    # achievable bf16 peak; scripts/istft_align_probe.py).  The last bin
+    # is the Nyquist column: sin(pi*n) == 0 exactly, so its entire
+    # contribution is the rank-1 term re[..., -1] * cos_nyq — one
+    # broadcast FMA over the output, fused into the subtract epilogue —
+    # leaving a tile-aligned K=n_fft/2 contraction.
+    split_nyq = n_fft % 2 == 0
+    if split_nyq:
+        nyq = cos_m[:, -1]  # f32 (n_fft,), window + 1/N weight folded
+        cos_m, sin_m = cos_m[:, :-1], sin_m[:, :-1]
     if precision == "default" and re.dtype == jnp.bfloat16:
         # single-pass MXU path: bf16 Wiener outputs feed the matmul
         # as-is (a float32 promotion would just re-materialize the cast
@@ -123,9 +135,17 @@ def irdft(
         a_re, a_im = re, im
     else:
         a_re, a_im = re.astype(jnp.float32), im.astype(jnp.float32)
-    out = _dot(a_re, cos_m, precision, transpose_b=True) - _dot(
-        a_im, sin_m, precision, transpose_b=True
-    )
+    if split_nyq:
+        out = _dot(a_re[..., :-1], cos_m, precision, transpose_b=True) - _dot(
+            a_im[..., :-1], sin_m, precision, transpose_b=True
+        )
+        # computed in f32 regardless of the matmul feed dtype (cheap, and
+        # strictly more accurate than a bf16 constant column)
+        out = out + a_re[..., -1:].astype(jnp.float32) * nyq
+    else:
+        out = _dot(a_re, cos_m, precision, transpose_b=True) - _dot(
+            a_im, sin_m, precision, transpose_b=True
+        )
     return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
