@@ -138,6 +138,7 @@ def main() -> int:
         matmul_precision=precision,
         ola_impl=os.environ.get("UMX_BENCH_OLA", "auto"),
         stream_impl=os.environ.get("UMX_BENCH_STREAM_IMPL", "scan"),
+        stems_stack_dtype=os.environ.get("UMX_BENCH_STEMS_STACK", "auto"),
     )
     wiener_tb = int(os.environ.get("UMX_BENCH_WIENER_TB", "0"))
     if wiener_tb:

@@ -187,6 +187,31 @@ def test_bf16_fast_path_knobs_match_f32(cfg, audio):
     np.testing.assert_allclose(out2, ref, atol=2e-2 * peak)
 
 
+def test_bf16_stems_stack_matches_f32(cfg, audio):
+    """The round-4 stems-stack seam: storing the scan's weighted chunk
+    stems bf16 (halving the track program's largest allocation) stays
+    within bf16 store rounding of the f32 stack — at 25% overlap each
+    output sample sums at most two chunk contributions, both in f32,
+    so the only error is the per-chunk store quantization.  Output
+    waves stay f32."""
+    params = synthetic_params(cfg.model, seed=0)
+    ref = Separator(params, cfg).demix_track(audio, seed=3)
+    c = dataclasses.replace(cfg, stems_stack_dtype="bfloat16")
+    out = Separator(params, c).demix_track(audio, seed=3)
+    assert out.dtype == np.float32
+    peak = float(np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=1.5e-2 * peak)
+    # and the seam composes with the non-streaming parallel program
+    c_ns = dataclasses.replace(
+        c, segment=dataclasses.replace(c.segment, streaming=False)
+    )
+    ref_ns = Separator(
+        params, dataclasses.replace(cfg, segment=c_ns.segment)
+    ).demix_track(audio, seed=3)
+    out_ns = Separator(params, c_ns).demix_track(audio, seed=3)
+    np.testing.assert_allclose(out_ns, ref_ns, atol=1.5e-2 * peak)
+
+
 @pytest.mark.slow
 def test_multi_shift_averaging(cfg, audio):
     params = synthetic_params(cfg.model, seed=0)

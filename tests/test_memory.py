@@ -32,9 +32,22 @@ def test_monotonic_in_batch_and_length():
 
 
 def test_calibration_matches_measured_v5e_facts():
-    cfg = _cfg()
-    assert fused_track_hbm_bytes(cfg, 4, 420.0)["total"] <= V5E_HBM_BYTES
-    assert fused_track_hbm_bytes(cfg, 8, 420.0)["total"] > V5E_HBM_BYTES
+    """Round-4 measured bracket (420 s UMX-L whole tracks on a v5e):
+    B=4 and B=6 FIT in both stack dtypes, B=8 RESOURCE_EXHAUSTs in both
+    (BENCH_MATRIX_r04 session) — the model must reproduce all six."""
+    cfg = _cfg()  # auto stems stack -> f32 on the CPU test backend
+    import dataclasses
+
+    bf = dataclasses.replace(cfg, stems_stack_dtype="bfloat16")
+    for c in (cfg, bf):
+        assert fused_track_hbm_bytes(c, 4, 420.0)["total"] <= V5E_HBM_BYTES
+        assert fused_track_hbm_bytes(c, 6, 420.0)["total"] <= V5E_HBM_BYTES
+        assert fused_track_hbm_bytes(c, 8, 420.0)["total"] > V5E_HBM_BYTES
+    # the bf16 stack estimate is strictly smaller
+    assert (
+        fused_track_hbm_bytes(bf, 6, 420.0)["total"]
+        < fused_track_hbm_bytes(cfg, 6, 420.0)["total"]
+    )
 
 
 def test_segment_batch_calibration():
@@ -51,7 +64,9 @@ def test_segment_batch_calibration():
 def test_suggest_max_batch():
     cfg = _cfg()
     b = suggest_max_batch(cfg, 420.0, hbm_bytes=V5E_HBM_BYTES)
-    assert b == 4
+    # suggestion must sit inside the measured bracket (6 fits, 8 OOMs)
+    # minus the 0.9 safety margin — conservative, never past a fit
+    assert 4 <= b <= 6
     assert suggest_max_batch(cfg, 60.0, hbm_bytes=V5E_HBM_BYTES) > b
     # even an over-budget single track still returns 1
     assert suggest_max_batch(cfg, 10_000.0, hbm_bytes=V5E_HBM_BYTES) == 1
@@ -113,4 +128,12 @@ def test_terms_present_and_positive():
     parts = fused_track_hbm_bytes(_cfg(), 2, 300.0)
     for k in ("ys", "ola", "stems", "audio", "seg_transients", "params", "total"):
         assert parts[k] > 0, k
-    assert parts["total"] >= max(parts["scan_phase"], parts["ola_phase"])
+    # the boundary (scan→OLA) is the modeled peak; the pad+sum ola_phase
+    # applies only under ola_impl="xla"
+    assert parts["total"] >= parts["scan_phase"]
+    assert parts["total"] >= parts["boundary"]
+    import dataclasses
+
+    xla = dataclasses.replace(_cfg(), ola_impl="xla")
+    parts_x = fused_track_hbm_bytes(xla, 2, 300.0)
+    assert parts_x["total"] >= parts_x["ola_phase"]

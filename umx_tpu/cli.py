@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
         "them — PARITY.md)",
     )
     p.add_argument(
+        "--stems-stack-dtype",
+        choices=("auto", "float32", "bfloat16"),
+        default="auto",
+        help="storage dtype of the fused-track stacked weighted chunk "
+        "stems feeding overlap-add (auto = bfloat16 on TPU: halves the "
+        "track program's largest allocation; OLA still accumulates f32)",
+    )
+    p.add_argument(
         "--iframes-dtype",
         choices=("auto", "float32", "bfloat16"),
         default="auto",
@@ -202,6 +210,7 @@ def _main(argv=None) -> int:
             istft_algo=args.istft_algo,
         ),
         mask_dtype=args.mask_dtype,
+        stems_stack_dtype=args.stems_stack_dtype,
         stream_impl=args.stream_impl,
         segment=SegmentConfig(
             segment_secs=args.segment_secs,

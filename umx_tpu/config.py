@@ -244,6 +244,19 @@ class EngineConfig:
     # "auto" = bfloat16 on TPU, float32 elsewhere.  Training never sees
     # this seam (train.py consumes umx_forward's f32 masks directly).
     mask_dtype: Literal["auto", "float32", "bfloat16"] = "auto"
+    # Storage dtype of the fused-track programs' stacked weighted chunk
+    # stems (the lax.scan output feeding overlap-add: (n_chunks, T#, 2,
+    # seg) — 847 MB f32 for a 7-min track, the program's largest
+    # allocation).  "bfloat16" halves both the stack and the OLA's read
+    # stream; overlap-add still ACCUMULATES in f32 (at 25% overlap each
+    # output sample sums at most 2 chunk contributions, so the only
+    # error is the bf16 store rounding — the same accepted class as the
+    # mask/iframes seams, PARITY.md).  "auto" = bfloat16 on TPU, float32
+    # elsewhere.  Adopted round 4 for CAPACITY, not speed: the B=1
+    # headline is measurement-neutral (1066 vs 1071x, within the ±3%
+    # session noise), but halving the stack moves the whole-track batch
+    # and single-program track-length ceilings (engine/memory.py).
+    stems_stack_dtype: Literal["auto", "float32", "bfloat16"] = "auto"
     # STREAMING fused-track schedule.  "scan" = one lax.scan over chunks
     # (the default — measured AT the sum of its phase costs, PERF.md
     # round-3 decomposition: the state chain itself costs ~0).  "groups"

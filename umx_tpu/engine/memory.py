@@ -10,22 +10,25 @@ first-principles liveness estimate of peak HBM so callers (fleet
 bucketing, serving admission, bench configs) can pick a feasible batch
 instead of discovering OOM at compile time.
 
-The fused-track estimate models the two high-water phases:
-
-* scan phase — the stacked weighted chunk outputs accumulate while a
-  segment's transients (Wiener y planes, spectrogram planes, masks) are
-  live;
-* overlap-add phase — the stacked chunks, the head+shifted-tail sum,
-  its time-interleaved reshape, and the final stems are simultaneously
-  live.
+The fused-track estimate models the scan→overlap-add BOUNDARY, the
+measured high-water point under the shipping unrolled OLA: the complete
+stacked weighted chunk outputs (at their configured storage dtype —
+``EngineConfig.stems_stack_dtype``), the f32 overlap-add accumulator
+(== the stems), the padded audio, and one batch-row set of segment
+transients (Wiener y planes, spectrogram planes, masks) are live
+together.  Round-4 calibration facts on a v5e (420 s UMX-L tracks):
+B=4 and B=6 fit in BOTH stack dtypes, B=8 RESOURCE_EXHAUSTs in both
+(f32 allocator request measured 21.0 GB); the model must keep every
+measured fit inside the physical budget and every measured OOM outside
+it.
 
 Parameter bytes are DERIVED from the model config (dtype- and
 quantization-aware, validated against the measured 530 MB UMX-L
 resident set) — or measured exactly from a params pytree when given.
 Device capacity is read from ``memory_stats()`` when the backend
-exposes it, falling back to the v5e constant.  Estimates carry an
-empirical layout factor for TPU tiling padding and are deliberately
-coarse (~±25%); keep a safety margin.
+exposes it, falling back to the v5e constant.  Estimates are
+deliberately coarse (~±25%, with a fitted slack factor on the transient
+share); keep a safety margin.
 """
 
 from __future__ import annotations
@@ -35,7 +38,10 @@ import math
 from umx_tpu.config import EngineConfig
 
 V5E_HBM_BYTES = int(15.75 * 2**30)  # usable HBM per chip (16G - reserved)
-_LAYOUT_FACTOR = 1.25  # measured tiling-padding expansion on (…, stride)
+# Fitted slack on the per-segment transient share in the fused-track
+# boundary model: the unique factor that brackets all six round-4
+# measured points (B=4/6 fit, B=8 OOM, x f32/bf16 stacks) with margin.
+_TRANSIENT_FACTOR = 1.35
 # Engine-resident overhead over raw f32 leaf bytes (bf16 kernel weight
 # copies, dequant scale tables, allocator rounding): 530 MB measured for
 # UMX-L whose raw leaves sum to ~452 MB.
@@ -99,6 +105,22 @@ def params_hbm_bytes(
     return int(s * per_target * _PARAMS_OVERHEAD)
 
 
+def _stems_itemsize(cfg: EngineConfig) -> int:
+    """Bytes/sample of the fused-track stacked chunk stems
+    (``EngineConfig.stems_stack_dtype``; "auto" = bf16 on accelerators,
+    mirroring ``separator._resolve_stems_stack_dtype`` without importing
+    the engine)."""
+    choice = getattr(cfg, "stems_stack_dtype", "auto")
+    if choice == "auto":
+        try:
+            import jax
+
+            return 2 if jax.default_backend() not in ("cpu",) else 4
+        except Exception:  # noqa: BLE001 — planning must never fail
+            return 4
+    return 2 if choice == "bfloat16" else 4
+
+
 def _segment_transient_bytes(cfg: EngineConfig) -> int:
     """Bytes of one segment's in-flight pipeline tensors (per batch row):
     Wiener y planes + masks + mix spectrogram planes + a partial-liveness
@@ -137,17 +159,23 @@ def fused_track_hbm_bytes(
     b = batch
     f4 = 4  # float32
 
-    ys = b * s * 2 * n_chunks * seg * f4  # scan-stacked weighted chunks
-    ola = 2 * b * s * 2 * n_chunks * stride * f4  # combined + interleaved
-    stems = b * s * 2 * padded * f4  # normalized output
+    ys = b * s * 2 * n_chunks * seg * _stems_itemsize(cfg)  # stacked chunks
+    ola = 2 * b * s * 2 * n_chunks * stride * f4  # pad+sum combine grids
+    stems = b * s * 2 * padded * f4  # f32 OLA accumulator == output
     audio = b * 2 * padded * f4
     seg_transients = b * _segment_transient_bytes(cfg)
     params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
 
+    # scan→OLA boundary liveness (the measured high-water point under
+    # the shipping unrolled OLA — the pad+sum combine grids exist only
+    # under ola_impl="xla")
     scan_phase = ys + audio + seg_transients
+    boundary = ys + stems + audio + int(seg_transients * _TRANSIENT_FACTOR)
     ola_phase = ys + ola + stems
-    peak = max(scan_phase, ola_phase)
-    total = int(peak * _LAYOUT_FACTOR) + params_b
+    peak = max(scan_phase, boundary)
+    if getattr(cfg, "ola_impl", "auto") == "xla":
+        peak = max(peak, ola_phase)
+    total = int(peak) + params_b
     return {
         "ys": ys,
         "ola": ola,
@@ -156,6 +184,7 @@ def fused_track_hbm_bytes(
         "seg_transients": seg_transients,
         "params": params_b,
         "scan_phase": scan_phase,
+        "boundary": boundary,
         "ola_phase": ola_phase,
         "total": total,
     }
@@ -241,7 +270,7 @@ def parallel_track_hbm_bytes(
     s = cfg.model.n_targets
     f4 = 4
 
-    ys = s * 2 * n_chunks * seg * f4
+    ys = s * 2 * n_chunks * seg * _stems_itemsize(cfg)
     ola = 2 * s * 2 * n_chunks * stride * f4
     stems = s * 2 * padded * f4
     audio = 2 * padded * f4
@@ -249,10 +278,15 @@ def parallel_track_hbm_bytes(
     seg_transients = width * _segment_transient_bytes(cfg)
     params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
 
+    # group→OLA boundary liveness, mirroring fused_track_hbm_bytes (the
+    # pad+sum combine grids exist only under ola_impl="xla")
     group_phase = ys + audio + seg_transients
+    boundary = ys + stems + audio + int(seg_transients * _TRANSIENT_FACTOR)
     ola_phase = ys + ola + stems
-    peak = max(group_phase, ola_phase)
-    total = int(peak * _LAYOUT_FACTOR) + params_b
+    peak = max(group_phase, boundary)
+    if getattr(cfg, "ola_impl", "auto") == "xla":
+        peak = max(peak, ola_phase)
+    total = int(peak) + params_b
     return {
         "ys": ys,
         "ola": ola,
@@ -261,6 +295,7 @@ def parallel_track_hbm_bytes(
         "seg_transients": seg_transients,
         "params": params_b,
         "group_phase": group_phase,
+        "boundary": boundary,
         "ola_phase": ola_phase,
         "total": total,
     }

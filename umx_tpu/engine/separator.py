@@ -78,6 +78,20 @@ def _resolve_mask_dtype(cfg: EngineConfig):
     return jnp.dtype(choice)
 
 
+def _resolve_stems_stack_dtype(cfg: EngineConfig):
+    """Storage dtype for the fused-track stacked weighted chunk stems
+    (the scan output feeding overlap-add) — see
+    ``EngineConfig.stems_stack_dtype``."""
+    choice = getattr(cfg, "stems_stack_dtype", "auto")
+    if choice == "auto":
+        return (
+            jnp.bfloat16
+            if jax.default_backend() not in ("cpu",)
+            else jnp.float32
+        )
+    return jnp.dtype(choice)
+
+
 def _segment_pre_impl(
     params: UMXParams, audio: Array, cfg: EngineConfig
 ) -> tuple[Array, Array, Array]:
@@ -226,10 +240,14 @@ def _demix_fused_impl(
     weight = _transition_weight(seg, cfg.segment.transition_power)
     zero_state = jax.tree.map(jnp.zeros_like, state)
 
+    sdt = _resolve_stems_stack_dtype(cfg)
+
     def body(st, i):
         chunk = jax.lax.dynamic_slice(audio_p, (0, i * stride), (2, seg))
         chunk_out, new_st = _segment_forward_impl(params, chunk, st, cfg, seg)
-        return (new_st if cfg.segment.streaming else zero_state), weight * chunk_out
+        return (new_st if cfg.segment.streaming else zero_state), (
+            weight * chunk_out
+        ).astype(sdt)
 
     # The scan emits stacked weighted chunk outputs; carrying the big
     # overlap-add buffers through the scan instead costs a full-buffer
@@ -258,11 +276,12 @@ def _normalized_overlap_add(
     if choice in ("pallas", "pallas_interpret", "xla_dus"):
         # kept as measured A/B variants (PERF.md: pallas DMA 52 ms,
         # xla_dus 69 ms at 420 s scale — the 44.1 kHz row misalignment
-        # taxes every layout-changing approach)
+        # taxes every layout-changing approach); the kernels are
+        # f32-only, so a bf16 stems stack upcasts at the seam
         from umx_tpu.ops.ola_pallas import overlap_add_normalized
 
         out = overlap_add_normalized(
-            ys, 1.0 / sw, stride, padded_len,
+            ys.astype(jnp.float32), 1.0 / sw, stride, padded_len,
             impl="xla_dus" if choice == "xla_dus" else "pallas",
             interpret=choice == "pallas_interpret",
         )
@@ -273,12 +292,16 @@ def _normalized_overlap_add(
         # statically unrolled slice-adds: no transpose, no scatter, and —
         # unlike hop-strided .at[].add patterns — no XLA conv-rewrite.
         # Fastest measured (24 ms vs 42 pad+sum at 420 s, PERF.md) and
-        # valid for ANY overlap geometry.
-        out = jnp.zeros((*mid, padded_len), ys.dtype)
+        # valid for ANY overlap geometry.  The accumulator is always f32
+        # (a bf16 stems stack upcasts in the adds; the stems written out
+        # stay f32).
+        out = jnp.zeros((*mid, padded_len), jnp.float32)
         for k in range(n_chunks):
-            out = out.at[..., k * stride : k * stride + seg].add(ys[k])
+            out = out.at[..., k * stride : k * stride + seg].add(
+                ys[k].astype(jnp.float32)
+            )
         return out / sw
-    return _overlap_add_chunks(ys, stride, padded_len) / sw
+    return _overlap_add_chunks(ys.astype(jnp.float32), stride, padded_len) / sw
 
 
 def _overlap_add_chunks(ys: Array, stride: int, padded_len: int) -> Array:
@@ -406,7 +429,9 @@ def _demix_fused_stream_groups_jit(
         )(res, ims, x1s, lstm_outs)
         ys.append(waves)
 
-    ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
+    ys = (jnp.concatenate(ys, axis=0) * weight).astype(
+        _resolve_stems_stack_dtype(cfg)
+    )  # (n_chunks, T#, 2, seg)
     return _normalized_overlap_add(ys, weight, stride, padded_len, cfg), st
 
 
@@ -492,7 +517,9 @@ def _demix_fused_stream_pipelined_jit(
                     params, re_, im_, x1_, outs[s], cfg, seg
                 )
 
-    ys_arr = jnp.stack(ys) * weight  # (n_chunks, T#, 2, seg)
+    ys_arr = (jnp.stack(ys) * weight).astype(
+        _resolve_stems_stack_dtype(cfg)
+    )  # (n_chunks, T#, 2, seg)
     final = LSTMState(
         h=jnp.stack([stage_st[l][0] for l in range(L)], axis=1),
         c=jnp.stack([stage_st[l][1] for l in range(L)], axis=1),
@@ -556,7 +583,9 @@ def _demix_fused_parallel_jit(
             lambda a: _segment_forward_impl(params, a, state, cfg, seg)
         )(chunks)
         ys.append(outs)
-    ys = jnp.concatenate(ys, axis=0) * weight  # (n_chunks, T#, 2, seg)
+    ys = (jnp.concatenate(ys, axis=0) * weight).astype(
+        _resolve_stems_stack_dtype(cfg)
+    )  # (n_chunks, T#, 2, seg)
 
     return _normalized_overlap_add(ys, weight, stride, padded_len, cfg)
 
