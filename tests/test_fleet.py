@@ -66,6 +66,38 @@ def test_fleet_with_shifts(cfg, params, tracks):
         np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_fleet_nonstreaming_matches_per_track(cfg, params, tracks):
+    """Non-streaming batched tracks route through the vmapped chunk-group
+    PARALLEL program (B x width kernel rows) — must equal the per-track
+    Separator result, which runs the same parallel program unbatched."""
+    import dataclasses
+
+    c = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False)
+    )
+    outs = demix_tracks(params, tracks[:3], c)
+    sep = Separator(params, c)
+    for track, out in zip(tracks[:3], outs):
+        assert out.shape == (4, 2, track.shape[1])
+        ref = np.asarray(sep.demix(track))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_batched_demix_nonstreaming_width_planned():
+    """The non-streaming batched program picks a planner width that
+    keeps total rows (batch x width) within the measured-safe 16."""
+    from umx_tpu.engine.memory import suggest_chunk_batch
+
+    cfg = EngineConfig(
+        model=ModelConfig(hidden_size=64), segment=SegmentConfig(
+            segment_secs=0.5, streaming=False
+        )
+    )
+    for b in (1, 2, 4, 6, 16, 32):
+        w = suggest_chunk_batch(cfg, 420.0, hbm_bytes=16 * 2**30, batch=b)
+        assert 1 <= w * b <= 16 or w == 1
+
+
 def test_fleet_multi_shift_matches_per_track(cfg, params, tracks):
     import dataclasses
 

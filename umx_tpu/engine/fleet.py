@@ -22,18 +22,55 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from umx_tpu.config import EngineConfig
-from umx_tpu.engine.separator import _demix_fused_impl, _device_cfg, _vmap_cfg
+from umx_tpu.engine.separator import (
+    _demix_fused_impl,
+    _demix_fused_parallel_impl,
+    _device_cfg,
+    _vmap_cfg,
+)
 from umx_tpu.models.umx import UMXParams, init_lstm_state
 
 _batched_cache: dict = {}
 
 
-def _batched_demix(cfg: EngineConfig, n_chunks: int, seg: int, stride: int):
+def _batched_demix(
+    cfg: EngineConfig, n_chunks: int, seg: int, stride: int, batch: int = 1
+):
+    """One jitted program demixing B stacked tracks: (params, (B,2,P)
+    audio, B-stacked states) -> ((B,T#,2,P) stems, B-stacked states).
+
+    Streaming configs vmap the fused scan (state carried chunk->chunk
+    per track).  Non-streaming configs vmap the chunk-group PARALLEL
+    program instead: with no cross-chunk carry, B tracks x width chunks
+    fold into one batch-native BLSTM kernel call (B x width matmul
+    rows), reaching the per-segment batch regime on honest whole tracks
+    — the scan form would leave each track's chunks serial.  Width is
+    the planner's batch-aware pick (engine/memory.suggest_chunk_batch);
+    the LSTM state passes through untouched (nothing carries).
+    """
     cfg = _device_cfg(cfg)  # host-only fields must not key compilations
-    key = (cfg, n_chunks, seg, stride)
+    key = (cfg, n_chunks, seg, stride, max(1, batch))
     if key not in _batched_cache:
-        def one(params, audio_p, state):
-            return _demix_fused_impl(params, audio_p, state, cfg, n_chunks, seg, stride)
+        if cfg.segment.streaming:
+            def one(params, audio_p, state):
+                return _demix_fused_impl(
+                    params, audio_p, state, cfg, n_chunks, seg, stride
+                )
+        else:
+            cb = cfg.segment.chunk_batch
+            if cb <= 0:  # auto: planner-picked width at this track batch
+                from umx_tpu.engine.memory import suggest_chunk_batch
+
+                sr = cfg.dsp.sample_rate
+                track_secs = ((n_chunks - 1) * stride + seg) / sr
+                cb = suggest_chunk_batch(cfg, track_secs, batch=max(1, batch))
+            cb = min(cb, n_chunks)
+
+            def one(params, audio_p, state, cb=cb):
+                out = _demix_fused_parallel_impl(
+                    params, audio_p, cfg, n_chunks, seg, stride, cb
+                )
+                return out, state
 
         _batched_cache[key] = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
     return _batched_cache[key]
@@ -114,7 +151,9 @@ def demix_tracks(
             while len(batch) % dp:
                 batch.append(np.zeros_like(batch[0]))
             # batched instances fold into kernel matmul rows (lstm_pallas custom_vmap)
-            fn = _batched_demix(_vmap_cfg(cfg, len(batch)), n_chunks, seg, stride)
+            fn = _batched_demix(
+                _vmap_cfg(cfg, len(batch)), n_chunks, seg, stride, batch=len(batch)
+            )
             audio_b = jnp.asarray(np.stack(batch))
             st = init_lstm_state(cfg.model)
             states = jax.tree.map(

@@ -256,11 +256,17 @@ def parallel_track_hbm_bytes(
     track_secs: float,
     quantized: bool = False,
     params=None,
+    batch: int = 1,
 ) -> dict[str, int]:
     """Estimated peak HBM of the NON-STREAMING fused-track program at a
     given segment-group width (``demix_fused_parallel``): the track-level
     buffers (stacked weighted chunks, overlap-add combine, stems, audio)
-    plus ``chunk_batch`` segments' pipeline transients in flight."""
+    plus ``chunk_batch`` segments' pipeline transients in flight.
+
+    ``batch`` models the fleet/bench shape of B whole tracks vmapped
+    through one program (``fleet._batched_demix`` non-streaming): every
+    track-level buffer gains a leading B axis and each group has
+    B x width segment rows in flight."""
     sr = cfg.dsp.sample_rate
     seg = cfg.segment.segment_samples(sr)
     stride = cfg.segment.stride_samples(sr)
@@ -269,13 +275,14 @@ def parallel_track_hbm_bytes(
     padded = (n_chunks - 1) * stride + seg
     s = cfg.model.n_targets
     f4 = 4
+    b = max(1, batch)
 
-    ys = s * 2 * n_chunks * seg * _stems_itemsize(cfg)
-    ola = 2 * s * 2 * n_chunks * stride * f4
-    stems = s * 2 * padded * f4
-    audio = 2 * padded * f4
+    ys = b * s * 2 * n_chunks * seg * _stems_itemsize(cfg)
+    ola = b * 2 * s * 2 * n_chunks * stride * f4
+    stems = b * s * 2 * padded * f4
+    audio = b * 2 * padded * f4
     width = min(chunk_batch, n_chunks)
-    seg_transients = width * _segment_transient_bytes(cfg)
+    seg_transients = b * width * _segment_transient_bytes(cfg)
     params_b = params_hbm_bytes(cfg, quantized=quantized, params=params)
 
     # group→OLA boundary liveness, mirroring fused_track_hbm_bytes (the
@@ -308,21 +315,23 @@ def suggest_chunk_batch(
     safety: float = 0.9,
     quantized: bool = False,
     params=None,
+    batch: int = 1,
 ) -> int:
     """Largest non-streaming fused-group width whose estimated footprint
     fits (``SegmentConfig.chunk_batch == 0`` auto mode).  Wider groups
     are monotonically faster — the batch-native BLSTM kernel folds group
     rows, amortizing the recurrence's width-independent latency floor
     (420 s track: 4 = 1251x, 16 = 1574x, PERF.md) — so the only bound is
-    memory.  Capped at 16, the measured-safe per-segment batch endpoint
-    (the 60 s batch curve ends in (16 fits, 32 OOMs))."""
+    memory.  Capped so TOTAL rows (batch x width) stay at 16, the
+    measured-safe per-segment batch endpoint (the 60 s batch curve ends
+    in (16 fits, 32 OOMs) and the fold's win saturates past 16)."""
     budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
     return _suggest(
         lambda w: parallel_track_hbm_bytes(
-            cfg, w, track_secs, quantized=quantized, params=params
+            cfg, w, track_secs, quantized=quantized, params=params, batch=batch
         )["total"],
         budget,
-        hard_cap=16,
+        hard_cap=max(1, 16 // max(1, batch)),
     )
 
 

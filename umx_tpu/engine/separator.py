@@ -536,10 +536,7 @@ def demix_fused_stream_pipelined(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_chunks", "seg", "stride", "chunk_batch")
-)
-def _demix_fused_parallel_jit(
+def _demix_fused_parallel_impl(
     params: UMXParams,
     audio_p: Array,
     cfg: EngineConfig,
@@ -588,6 +585,11 @@ def _demix_fused_parallel_jit(
     )  # (n_chunks, T#, 2, seg)
 
     return _normalized_overlap_add(ys, weight, stride, padded_len, cfg)
+
+
+_demix_fused_parallel_jit = functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_chunks", "seg", "stride", "chunk_batch"
+))(_demix_fused_parallel_impl)
 
 
 def demix_fused_parallel(
@@ -837,7 +839,9 @@ class Separator:
             states = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (len(group), *x.shape)), st
             )
-            fn = _batched_demix(_vmap_cfg(cfg, len(group)), n_chunks, seg, stride)
+            fn = _batched_demix(
+                _vmap_cfg(cfg, len(group)), n_chunks, seg, stride, batch=len(group)
+            )
             out_b, _ = fn(self.params, jnp.asarray(batch), states)
             out_b = np.asarray(out_b)
             for b, off in enumerate(group):
