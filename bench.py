@@ -226,14 +226,31 @@ def main() -> int:
         _ = float(jnp.sum(out))
         print(f"# batched-track compile+first-run: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
-        # steady-state throughput, one drain per window (see B=1 note)
-        track_reps = 3
+        # steady-state throughput.  Streaming (scan) windows queue 3
+        # un-drained calls per drain (see B=1 note); the non-streaming
+        # parallel program's B x width transients make >1 in-flight call
+        # RESOURCE_EXHAUST in steady state (measured: B=4 w=4 first run
+        # fits, 3-deep queue OOMs), and production drains every call
+        # anyway (fleet.demix_tracks np.asarray's each bucket) — so
+        # bound in-flight to 1 there.  Drain cost ~2-3 ms on >400 ms
+        # walls: noise.
+        track_reps = 3 if streaming else 1
         walls = []
         for _i in range(3):
             t0 = time.perf_counter()
             for _r in range(track_reps):
+                if track_reps == 1:
+                    # release the previous window's device stems BEFORE
+                    # dispatching (production drops each bucket's buffers
+                    # after np.asarray); keeping them live adds ~2.4 GB
+                    # (B x 4 x 2 x padded f32) and OOMs the parallel
+                    # program's steady state
+                    out = _st = None
                 out, _st = fn(params, audio_b, states)
-            _ = float(jnp.sum(out))
+                if track_reps == 1:
+                    _ = float(jnp.sum(out))
+            if track_reps > 1:
+                _ = float(jnp.sum(out))
             walls.append((time.perf_counter() - t0) / track_reps)
         wall = sorted(walls)[1]
         xrt = batch * track_secs / wall

@@ -83,6 +83,24 @@ def test_fleet_nonstreaming_matches_per_track(cfg, params, tracks):
         np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+def test_fleet_nonstreaming_with_shifts_matches_per_track(cfg, params, tracks):
+    """Shift padding composes with the non-streaming parallel route:
+    fleet multi-shift averaging must equal Separator.demix_track, whose
+    per-pass demix also runs the parallel program when streaming=False."""
+    import dataclasses
+
+    c = dataclasses.replace(
+        cfg,
+        shifts=2,
+        segment=dataclasses.replace(cfg.segment, streaming=False),
+    )
+    outs = demix_tracks(params, tracks[:2], c, seeds=[5, 6])
+    sep = Separator(params, c)
+    for seed, track, out in zip([5, 6], tracks[:2], outs):
+        ref = sep.demix_track(track, seed=seed)
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
 def test_batched_demix_nonstreaming_width_planned():
     """The non-streaming batched program picks a planner width that
     keeps total rows (batch x width) within the measured-safe 16."""
