@@ -6,6 +6,7 @@ cd "$(dirname "$0")/.."
 run() { echo "== $1 =="; shift; timeout 2400 env "$@" python bench.py 2>/dev/null | tail -1; }
 run headline_420s_fused_streaming
 run batch4_whole_tracks      UMX_BENCH_BATCH=4 UMX_BENCH_TRACK_SECS=420
+run batch4_whole_nostream    UMX_BENCH_BATCH=4 UMX_BENCH_TRACK_SECS=420 UMX_BENCH_STREAMING=0
 run batch4_segments          UMX_BENCH_BATCH=4
 run nostream_cb16            UMX_BENCH_STREAMING=0 UMX_BENCH_CHUNK_BATCH=16
 run per_segment_batch16      UMX_BENCH_TRACK_SECS=0 UMX_BENCH_BATCH=16
