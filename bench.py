@@ -192,16 +192,16 @@ def main() -> int:
         import math
 
         from umx_tpu.engine.fleet import _batched_demix
-        from umx_tpu.engine.memory import suggest_max_batch
+        from umx_tpu.engine.memory import suggest_max_fleet_batch
         from umx_tpu.engine.separator import _vmap_cfg
         from umx_tpu.models.umx import init_lstm_state as _init_state
 
         cfg = _vmap_cfg(cfg, batch)  # batched tracks fold into kernel matmul rows
 
-        # non-streaming batched tracks pick a group width that fits by
-        # construction (batch-aware planner inside _batched_demix), so
-        # the scan-path estimator only applies to streaming configs
-        fit = suggest_max_batch(cfg, track_secs) if streaming else batch
+        # both arms are bounded by the fleet estimator: streaming vmaps
+        # the fused scan, non-streaming evaluates each candidate batch at
+        # the width _batched_demix would actually resolve
+        fit = suggest_max_fleet_batch(cfg, track_secs, params=params)
         if batch > fit:
             print(
                 f"# WARNING: batch {batch} likely exceeds HBM for "

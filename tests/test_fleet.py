@@ -116,6 +116,53 @@ def test_batched_demix_nonstreaming_width_planned():
         assert 1 <= w * b <= 16 or w == 1
 
 
+def test_batched_demix_resolves_width_from_original_cfg(monkeypatch):
+    """_batched_demix must resolve the chunk-group width BEFORE
+    _device_cfg canonicalizes chunk_batch to 4: explicit widths are
+    honored and the auto (cb<=0) branch calls the planner with the
+    actual track batch.  Regression test for the round-4 dead-planner
+    bug (every batched program silently ran width 4)."""
+    import dataclasses
+
+    from umx_tpu.engine import fleet
+
+    base = EngineConfig(
+        model=ModelConfig(hidden_size=64),
+        segment=SegmentConfig(segment_secs=0.5, streaming=False),
+    )
+    seg, stride = 22050, 16538
+
+    # explicit width survives canonicalization (capped by n_chunks)
+    c8 = dataclasses.replace(
+        base, segment=dataclasses.replace(base.segment, chunk_batch=8)
+    )
+    assert fleet.resolve_batched_width(c8, 20, seg, stride, batch=3) == 8
+    assert fleet.resolve_batched_width(c8, 5, seg, stride, batch=3) == 5
+
+    # auto mode consults the planner with the real batch
+    calls = []
+
+    def fake_planner(cfg, track_secs, batch=1, **kw):
+        calls.append(batch)
+        return 2
+
+    import umx_tpu.engine.memory as memory
+
+    monkeypatch.setattr(memory, "suggest_chunk_batch", fake_planner)
+    auto = dataclasses.replace(
+        base, segment=dataclasses.replace(base.segment, chunk_batch=0)
+    )
+    assert fleet.resolve_batched_width(auto, 20, seg, stride, batch=6) == 2
+    assert calls == [6]
+
+    # and _batched_demix itself keys the cache on the resolved width
+    fleet._batched_cache.clear()
+    fleet._batched_demix(c8, 20, seg, stride, batch=3)
+    (key,) = fleet._batched_cache.keys()
+    assert key[-1] == 8
+    fleet._batched_cache.clear()
+
+
 def test_fleet_multi_shift_matches_per_track(cfg, params, tracks):
     import dataclasses
 

@@ -116,6 +116,25 @@ def test_truncated_dims_rejected():
         read_ggml_bytes(blob)
 
 
+def test_bad_dims_rejected():
+    # negative / absurd dims must fail as a header error BEFORE the
+    # payload read (a negative product would otherwise swallow the rest
+    # of the file and misreport as "truncated payload"); a short name
+    # read is its own header error
+    import struct
+
+    head = struct.pack("<ii", 0x756D7867, 32)
+    neg = head + struct.pack("<ffii", 1.0, 0.0, 2, 4) + struct.pack("<ii", -3, 8) + b"abcd"
+    with pytest.raises(ValueError, match="dims"):
+        read_ggml_bytes(neg)
+    huge = head + struct.pack("<ffii", 1.0, 0.0, 2, 4) + struct.pack("<ii", 1 << 30, 8) + b"abcd"
+    with pytest.raises(ValueError, match="dims"):
+        read_ggml_bytes(huge)
+    short_name = head + struct.pack("<ffii", 1.0, 0.0, 1, 16) + struct.pack("<i", 8) + b"ab"
+    with pytest.raises(ValueError, match="name"):
+        read_ggml_bytes(short_name)
+
+
 def test_truncated_payload_rejected():
     cfg = ModelConfig(hidden_size=32)
     data = write_ggml_bytes(cfg.hidden_size, synthetic_state_dicts(cfg, seed=9))

@@ -137,3 +137,29 @@ def test_terms_present_and_positive():
     xla = dataclasses.replace(_cfg(), ola_impl="xla")
     parts_x = fused_track_hbm_bytes(xla, 2, 300.0)
     assert parts_x["total"] >= parts_x["ola_phase"]
+
+
+def test_suggest_max_fleet_batch():
+    """Fleet bucket bound: streaming delegates to the fused-scan
+    estimator and stays inside the measured v5e bracket (B=6 x 420 s
+    fits, B=8 OOMs); non-streaming evaluates each candidate batch at the
+    width the builder would resolve, so explicit wide widths shrink the
+    admissible batch."""
+    import dataclasses
+
+    from umx_tpu.engine.memory import V5E_HBM_BYTES, suggest_max_fleet_batch
+
+    cfg = EngineConfig()
+    b_stream = suggest_max_fleet_batch(cfg, 420.0, hbm_bytes=V5E_HBM_BYTES)
+    assert 1 <= b_stream <= 6  # never admits the measured OOM point
+
+    ns = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False, chunk_batch=0)
+    )
+    b_auto = suggest_max_fleet_batch(ns, 420.0, hbm_bytes=V5E_HBM_BYTES)
+    assert b_auto >= 1
+    ns8 = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, streaming=False, chunk_batch=8)
+    )
+    b_wide = suggest_max_fleet_batch(ns8, 420.0, hbm_bytes=V5E_HBM_BYTES)
+    assert b_wide <= b_auto  # a forced wide group leaves less room for tracks

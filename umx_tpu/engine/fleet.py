@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from umx_tpu.config import EngineConfig
+from umx_tpu.engine.memory import suggest_max_fleet_batch
 from umx_tpu.engine.separator import (
     _demix_fused_impl,
     _demix_fused_parallel_impl,
@@ -31,6 +32,27 @@ from umx_tpu.engine.separator import (
 from umx_tpu.models.umx import UMXParams, init_lstm_state
 
 _batched_cache: dict = {}
+
+
+def resolve_batched_width(
+    cfg: EngineConfig, n_chunks: int, seg: int, stride: int, batch: int = 1
+) -> int:
+    """Chunk-group width the non-streaming batched program will run at.
+
+    Must read ``cfg.segment.chunk_batch`` from the ORIGINAL config —
+    :func:`_device_cfg` canonicalizes the field to 4 (it is carried as
+    its own static argument, separator.py), so resolving after
+    canonicalization would silently pin every batched program to width 4
+    and never consult the planner's batch-aware cap
+    (batch * width <= 16, the measured OOM bracket)."""
+    cb = cfg.segment.chunk_batch
+    if cb <= 0:  # auto: planner-picked width at this track batch
+        from umx_tpu.engine.memory import suggest_chunk_batch
+
+        sr = cfg.dsp.sample_rate
+        track_secs = ((n_chunks - 1) * stride + seg) / sr
+        cb = suggest_chunk_batch(cfg, track_secs, batch=max(1, batch))
+    return min(cb, n_chunks)
 
 
 def _batched_demix(
@@ -45,11 +67,16 @@ def _batched_demix(
     fold into one batch-native BLSTM kernel call (B x width matmul
     rows), reaching the per-segment batch regime on honest whole tracks
     — the scan form would leave each track's chunks serial.  Width is
-    the planner's batch-aware pick (engine/memory.suggest_chunk_batch);
-    the LSTM state passes through untouched (nothing carries).
+    the planner's batch-aware pick (engine/memory.suggest_chunk_batch),
+    resolved from the pre-canonicalization config (see
+    :func:`resolve_batched_width`); the LSTM state passes through
+    untouched (nothing carries).
     """
+    cb = 0
+    if not cfg.segment.streaming:
+        cb = resolve_batched_width(cfg, n_chunks, seg, stride, batch=batch)
     cfg = _device_cfg(cfg)  # host-only fields must not key compilations
-    key = (cfg, n_chunks, seg, stride, max(1, batch))
+    key = (cfg, n_chunks, seg, stride, max(1, batch), cb)
     if key not in _batched_cache:
         if cfg.segment.streaming:
             def one(params, audio_p, state):
@@ -57,15 +84,6 @@ def _batched_demix(
                     params, audio_p, state, cfg, n_chunks, seg, stride
                 )
         else:
-            cb = cfg.segment.chunk_batch
-            if cb <= 0:  # auto: planner-picked width at this track batch
-                from umx_tpu.engine.memory import suggest_chunk_batch
-
-                sr = cfg.dsp.sample_rate
-                track_secs = ((n_chunks - 1) * stride + seg) / sr
-                cb = suggest_chunk_batch(cfg, track_secs, batch=max(1, batch))
-            cb = min(cb, n_chunks)
-
             def one(params, audio_p, state, cb=cb):
                 out = _demix_fused_parallel_impl(
                     params, audio_p, cfg, n_chunks, seg, stride, cb
@@ -146,28 +164,40 @@ def demix_tracks(
             buckets[item[3]].append(item)
 
         for n_chunks, items in sorted(buckets.items()):
-            # pad the batch to a multiple of dp with silent tracks
-            batch = [it[4] for it in items]
-            while len(batch) % dp:
-                batch.append(np.zeros_like(batch[0]))
-            # batched instances fold into kernel matmul rows (lstm_pallas custom_vmap)
-            fn = _batched_demix(
-                _vmap_cfg(cfg, len(batch)), n_chunks, seg, stride, batch=len(batch)
-            )
-            audio_b = jnp.asarray(np.stack(batch))
-            st = init_lstm_state(cfg.model)
-            states = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (len(batch), *x.shape)), st
-            )
-            if mesh is not None:
-                sh = NamedSharding(mesh, P("dp"))
-                audio_b = jax.device_put(audio_b, sh)
-                states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
-            out_b, _ = fn(params_r, audio_b, states)
-            out_b = np.asarray(out_b)
-            for (idx, offset, length, _, _), out in zip(items, out_b):
-                contrib = out[..., offset : offset + length] / n_passes
-                results[idx] = (
-                    contrib if results[idx] is None else results[idx] + contrib
+            # split oversized buckets into planner-bounded sub-batches:
+            # an unbounded bucket of same-length tracks would dispatch
+            # batch x width segment rows in one program and
+            # RESOURCE_EXHAUST (the measured bracket is 16 total rows /
+            # B=6 whole 420 s tracks on a v5e)
+            track_secs = ((n_chunks - 1) * stride + seg) / sr
+            per_dev = suggest_max_fleet_batch(cfg, track_secs, params=params)
+            cap = max(dp, per_dev * dp)
+            for s0 in range(0, len(items), cap):
+                sub = items[s0 : s0 + cap]
+                # pad the batch to a multiple of dp with silent tracks
+                batch = [it[4] for it in sub]
+                while len(batch) % dp:
+                    batch.append(np.zeros_like(batch[0]))
+                # batched instances fold into kernel matmul rows
+                # (lstm_pallas custom_vmap)
+                fn = _batched_demix(
+                    _vmap_cfg(cfg, len(batch)), n_chunks, seg, stride,
+                    batch=len(batch),
                 )
+                audio_b = jnp.asarray(np.stack(batch))
+                st = init_lstm_state(cfg.model)
+                states = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (len(batch), *x.shape)), st
+                )
+                if mesh is not None:
+                    sh = NamedSharding(mesh, P("dp"))
+                    audio_b = jax.device_put(audio_b, sh)
+                    states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
+                out_b, _ = fn(params_r, audio_b, states)
+                out_b = np.asarray(out_b)
+                for (idx, offset, length, _, _), out in zip(sub, out_b):
+                    contrib = out[..., offset : offset + length] / n_passes
+                    results[idx] = (
+                        contrib if results[idx] is None else results[idx] + contrib
+                    )
     return results  # type: ignore[return-value]

@@ -335,6 +335,43 @@ def suggest_chunk_batch(
     )
 
 
+def suggest_max_fleet_batch(
+    cfg: EngineConfig,
+    track_secs: float,
+    hbm_bytes: int | None = None,
+    safety: float = 0.9,
+    quantized: bool = False,
+    params=None,
+) -> int:
+    """Largest per-device batch of whole ``track_secs`` tracks for one
+    fleet bucket call (``fleet.demix_tracks``).  Streaming buckets vmap
+    the fused scan (bounded by :func:`suggest_max_batch`); non-streaming
+    buckets vmap the chunk-group parallel program, whose width the
+    builder re-resolves per batch — so the estimate evaluates each
+    candidate batch at the width it would actually run
+    (``resolve_batched_width`` semantics: explicit ``chunk_batch`` or
+    the batch-aware auto pick)."""
+    if cfg.segment.streaming:
+        return suggest_max_batch(
+            cfg, track_secs, hbm_bytes=hbm_bytes, safety=safety,
+            quantized=quantized, params=params,
+        )
+    budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
+
+    def est(b: int) -> int:
+        w = cfg.segment.chunk_batch
+        if w <= 0:
+            w = suggest_chunk_batch(
+                cfg, track_secs, hbm_bytes=hbm_bytes, safety=safety,
+                quantized=quantized, params=params, batch=b,
+            )
+        return parallel_track_hbm_bytes(
+            cfg, w, track_secs, quantized=quantized, params=params, batch=b
+        )["total"]
+
+    return _suggest(est, budget)
+
+
 def suggest_max_segment_batch(
     cfg: EngineConfig,
     hbm_bytes: int | None = None,

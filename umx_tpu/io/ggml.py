@@ -37,6 +37,10 @@ import numpy as np
 from umx_tpu.ops.quant import dequantize, quantize
 
 GGML_MAGIC = 0x756D7867  # "umxg"
+# Largest plausible single dimension in a UMX tensor record (fc3 output
+# is 4098; 1<<20 leaves generous headroom while rejecting garbage dims
+# that would otherwise inflate the computed payload size).
+_MAX_DIM = 1 << 20
 
 # Tensors quantized to uint16 instead of uint8
 # (convert-umx-pth-to-ggml.py:146-150).
@@ -124,7 +128,18 @@ def read_ggml_bytes(
         if len(dim_bytes) < 4 * n_dims:
             raise ValueError("truncated ggml tensor header (dims)")
         dims = struct.unpack(f"<{n_dims}i", dim_bytes)
-        name = f.read(name_len).decode("utf-8")
+        # each dim must be positive and sane BEFORE computing the payload
+        # size: a negative/huge dim would make f.read() swallow the rest
+        # of the file and surface as a misleading "truncated payload"
+        if any(not 0 < d <= _MAX_DIM for d in dims):
+            raise ValueError(
+                f"bad ggml tensor header at byte {f.tell() - 16 - 4 * n_dims}: "
+                f"dims={dims}"
+            )
+        name_bytes = f.read(name_len)
+        if len(name_bytes) != name_len:
+            raise ValueError("truncated ggml tensor header (name)")
+        name = name_bytes.decode("utf-8")
         shape = tuple(reversed(dims))  # file stores reversed dims
         qtype = qtype_for(name)
         n = int(np.prod(shape))
