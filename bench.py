@@ -31,6 +31,11 @@ Env knobs:
   UMX_BENCH_HIDDEN        (default 1024 = UMX-L; 512 = UMX-HQ)
   UMX_BENCH_STREAM_IMPL   (scan | groups | pipelined — streaming track
                            schedule A/B arms, config.stream_impl)
+  UMX_BENCH_WINDOW_CHUNKS (default 0 = auto: tracks beyond the HBM
+                           planner's single-program window run WINDOWED
+                           — chained W-chunk fused programs carrying
+                           LSTM state + the OLA boundary; -1 forces one
+                           program; >0 forces that window width)
   UMX_TPU_MODEL           (optional path to a real ggml file)
 """
 
@@ -133,6 +138,7 @@ def main() -> int:
             segment_secs=seg_secs,
             streaming=streaming,
             chunk_batch=int(os.environ.get("UMX_BENCH_CHUNK_BATCH", "0")),
+            window_chunks=int(os.environ.get("UMX_BENCH_WINDOW_CHUNKS", "0")),
         ),
         use_wiener=use_wiener,
         matmul_precision=precision,
@@ -279,6 +285,38 @@ def main() -> int:
         # hosts), not a pipeline property
         track_dev = jax.device_put(jnp.asarray(track))
         _ = float(jnp.sum(track_dev))
+
+        # will this track run WINDOWED (chained W-chunk fused programs,
+        # auto beyond the single-program HBM ceiling)?  Windowed tracks
+        # hold full-track stems device-resident, so >1 undrained track in
+        # flight would OOM: bound in-flight to 1 and release the previous
+        # stems before each dispatch (the fleet production pattern).
+        import math as _math
+
+        from umx_tpu.engine.memory import suggest_window_chunks
+
+        _sr = cfg.dsp.sample_rate
+        _stride = cfg.segment.stride_samples(_sr)
+        _nchunks = max(1, _math.ceil(int(track_secs * _sr) / _stride))
+        _resident = (2 + cfg.model.n_targets * 2) * (
+            (_nchunks - 1) * _stride + cfg.segment.segment_samples(_sr)
+        ) * 4
+        _wc = cfg.segment.window_chunks
+        if _wc == 0:
+            _wc = suggest_window_chunks(
+                cfg, params=params, resident_bytes=_resident
+            )
+        windowed = (
+            ((streaming and cfg.stream_impl == "scan") or not streaming)
+            and _wc > 0
+            and _nchunks > _wc
+        )
+        if windowed:
+            print(
+                f"# windowed-fused: {_nchunks} chunks exceed the "
+                f"single-program planner window", file=sys.stderr,
+            )
+
         t0 = time.perf_counter()
         out = sep.demix(track_dev)
         _ = float(jnp.sum(out))
@@ -288,17 +326,24 @@ def main() -> int:
         # scalar drain at the end (same methodology as per-segment mode)
         # so the axon tunnel's per-fetch round trip isn't charged to
         # every track — on a PCIe host that round trip is microseconds
-        track_reps = 3
+        track_reps = 1 if windowed else 3
         walls = []
         for _i in range(3):
             t0 = time.perf_counter()
             for _r in range(track_reps):
+                if windowed:
+                    out = None  # release the previous track's stems
                 out = sep.demix(track_dev)
-            _ = float(jnp.sum(out))
+                if windowed:
+                    _ = float(jnp.sum(out))
+            if not windowed:
+                _ = float(jnp.sum(out))
             walls.append((time.perf_counter() - t0) / track_reps)
         wall = sorted(walls)[1]
         xrt = track_secs / wall
         name = f"xRT_{family}_whole_track_{int(track_secs)}s_fused"
+        if windowed:
+            name += "_windowed"
         if not streaming:
             name += "_nostream"
         if quantized:

@@ -18,6 +18,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compile cache: the test host has ONE core, so CPU
+# compiles dominate suite wall time (fast tier ~218 s cold).  Caching
+# compiled executables across pytest runs cuts repeat runs ~3-4x
+# (measured 21.1 s -> 5.5 s on the heaviest fleet equality test).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("UMX_TEST_CACHE_DIR", "/tmp/umx_tpu_xla_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -187,6 +187,7 @@ def test_bf16_fast_path_knobs_match_f32(cfg, audio):
     np.testing.assert_allclose(out2, ref, atol=2e-2 * peak)
 
 
+@pytest.mark.slow
 def test_bf16_stems_stack_matches_f32(cfg, audio):
     """The round-4 stems-stack seam: storing the scan's weighted chunk
     stems bf16 (halving the track program's largest allocation) stays

@@ -66,6 +66,7 @@ def test_fleet_with_shifts(cfg, params, tracks):
         np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fleet_nonstreaming_matches_per_track(cfg, params, tracks):
     """Non-streaming batched tracks route through the vmapped chunk-group
     PARALLEL program (B x width kernel rows) — must equal the per-track

@@ -74,6 +74,7 @@ def test_two_simulated_hosts_union_equals_single_fleet(cfg, params, tracks):
         np.testing.assert_allclose(combined[i], want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lazy_track_loaders_only_called_for_owned(cfg, params, tracks):
     calls: list[int] = []
 

@@ -74,6 +74,7 @@ def test_ola_batched_vmap():
         )
 
 
+@pytest.mark.slow
 def test_fused_track_with_ola_kernel(small_cfg, small_params):
     """demix() through ola_impl=pallas_interpret equals the XLA path
     (small_cfg's 2 s segments give stride 66150 -> t2 3150)."""

@@ -31,6 +31,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dp_batch_matches_single_device(cfg, params):
     mesh = make_mesh(dp=8, tp=1)
     n = cfg.segment.segment_samples(cfg.dsp.sample_rate)

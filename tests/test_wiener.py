@@ -245,6 +245,7 @@ def test_pallas_from_masks_matches_oracle(spec_data):
     np.testing.assert_allclose(ours, ref, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_from_masks_two_iterations(spec_data):
     from umx_tpu.ops.wiener import wiener_filter_masks
 
@@ -287,6 +288,7 @@ def test_pallas_from_masks_vmap_batches():
     np.testing.assert_allclose(np.asarray(yim[1]), np.asarray(solo[1]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_from_masks_time_block_invariant(spec_data):
     # time_block only changes the kernels' grid blocking (and the f32
     # racc summation order); the result must be block-size invariant.

@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
         "planner picks the widest fitting width — the shipped default)",
     )
     p.add_argument(
+        "--window-chunks",
+        type=int,
+        default=0,
+        help="windowed-fused width in chunks for tracks beyond one "
+        "program's HBM (0 = auto: single program while the planner says "
+        "the track fits, windowed beyond; -1 = always one program; >0 "
+        "forces that window width)",
+    )
+    p.add_argument(
         "--input-scaling",
         choices=("openunmix", "umxcpp"),
         default="openunmix",
@@ -217,6 +226,7 @@ def _main(argv=None) -> int:
             overlap=args.overlap,
             streaming=not args.no_streaming,
             chunk_batch=args.chunk_batch,
+            window_chunks=args.window_chunks,
         ),
         wiener=WienerConfig(
             iterations=args.wiener_iters,

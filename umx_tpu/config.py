@@ -182,6 +182,19 @@ class SegmentConfig:
     # (engine/memory.py::suggest_chunk_batch, calibrated against the
     # measured 16-fits / 32-OOMs batch-curve endpoint).
     chunk_batch: int = 0
+    # Windowed-fused execution for tracks longer than one fused program
+    # can hold: the track runs as a chain of W-chunk fused windows, each
+    # ONE XLA program, carrying the LSTM state and the unnormalized
+    # overlap-add boundary tail (stems + weight sum over the final
+    # seg-stride samples) between windows — bit-equal math to the single
+    # fused program at <=50% overlap, at fused-program throughput for ANY
+    # track length (the 60-minute single program RESOURCE_EXHAUSTs,
+    # PERF.md).  0 = AUTO: single fused program while the HBM planner
+    # says the whole track fits, windowed at the planner's largest
+    # fitting W beyond that (engine/memory.suggest_window_chunks).
+    # -1 disables windowing (always one program, the pre-round-5
+    # behavior); >0 forces that window width.
+    window_chunks: int = 0
 
     def __post_init__(self):
         if not (0.0 <= self.overlap < 1.0):

@@ -223,10 +223,25 @@ def segment_batch_hbm_bytes(
 
 
 def _suggest(estimate, budget: float, hard_cap: int = 1024) -> int:
-    b = 1
-    while b < hard_cap and estimate(b + 1) <= budget:
-        b += 1
-    return b
+    """Largest b in [1, hard_cap] with estimate(b) <= budget (estimate is
+    monotonic in b; always >= 1).  Exponential probe + bisection — the
+    window planner runs per demix() call with caps up to 4096, where a
+    linear +1 walk (each step re-summing the params pytree) costs real
+    host milliseconds."""
+    if hard_cap <= 1 or estimate(2) > budget:
+        return 1
+    lo = 2  # known to fit
+    hi = 4
+    while hi <= hard_cap and estimate(hi) <= budget:
+        lo, hi = hi, hi * 2
+    hi = min(hi, hard_cap + 1)  # estimate(hi) > budget (or past the cap)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if estimate(mid) <= budget:
+            lo = mid
+        else:
+            hi = mid
+    return lo
 
 
 def suggest_max_batch(
@@ -370,6 +385,67 @@ def suggest_max_fleet_batch(
         )["total"]
 
     return _suggest(est, budget)
+
+
+def suggest_window_chunks(
+    cfg: EngineConfig,
+    hbm_bytes: int | None = None,
+    safety: float = 0.75,
+    quantized: bool = False,
+    params=None,
+    resident_bytes: int = 0,
+) -> int:
+    """Largest W (chunks) for one window of the WINDOWED-FUSED mode
+    (``SegmentConfig.window_chunks == 0`` auto): the biggest W whose
+    single-window footprint — identical in shape to a W-chunk fused
+    track — fits in ``safety * hbm_bytes`` after reserving
+    ``resident_bytes`` for buffers the caller keeps live across windows
+    (device-resident full-track audio + accumulated output stems when
+    the input arrived as a device array).
+
+    Calibration anchors (PERF.md, v5e, UMX-L 60 s segments): the
+    30-minute single program (40 chunks) fits and ran at 1171x; the
+    60-minute program (80 chunks) is a measured STEADY-STATE
+    RESOURCE_EXHAUSTED — its one-shot estimate (13.6 GB) squeaks under
+    the 0.9 budget, but back-to-back runs hold the previous call's
+    output stems live against the next call's scan buffers and blow it.
+    The window planner models exactly that steady state: each window's
+    footprint plus the PREVIOUS window's normalized output region
+    (s x 2 x w*stride f32, live until fetched/kept), under a tighter
+    default safety (0.75), so the suggested W lands at the proven
+    30-minute scale rather than the measured-failing 60-minute one.
+    Wider windows buy nothing anyway — per-window overhead is one
+    dispatch (~3 ms) against a multi-second window wall.
+    """
+    budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
+    budget -= resident_bytes
+    sr = cfg.dsp.sample_rate
+    stride = cfg.segment.stride_samples(sr)
+    s = cfg.model.n_targets
+
+    def est(w: int) -> int:
+        # track_secs = w*stride/sr makes fused_track_hbm_bytes's
+        # ceil(length/stride) yield exactly w chunks (a window of W
+        # chunks has the same buffer shapes as a W-chunk track)
+        secs = w * stride / sr
+        prev_out = s * 2 * w * stride * 4
+        if cfg.segment.streaming:
+            one = fused_track_hbm_bytes(
+                cfg, 1, secs, quantized=quantized, params=params
+            )["total"]
+        else:
+            width = cfg.segment.chunk_batch
+            if width <= 0:
+                width = suggest_chunk_batch(
+                    cfg, secs, hbm_bytes=hbm_bytes, safety=safety,
+                    quantized=quantized, params=params,
+                )
+            one = parallel_track_hbm_bytes(
+                cfg, width, secs, quantized=quantized, params=params
+            )["total"]
+        return one + prev_out
+
+    return _suggest(est, budget, hard_cap=4096)
 
 
 def suggest_max_segment_batch(

@@ -195,14 +195,15 @@ def _device_cfg(cfg: EngineConfig) -> EngineConfig:
     recompile the entire fused-track program — minutes on a remote-compile
     backend — for an identical computation.
     """
-    # chunk_batch is canonicalized too: the parallel path receives it as
-    # its own static argument, so leaving it in the key would recompile
-    # streaming/segment programs that never read it.
+    # chunk_batch and window_chunks are canonicalized too: the parallel
+    # and windowed paths receive them as their own static arguments, so
+    # leaving them in the key would recompile streaming/segment programs
+    # that never read them.
     return dataclasses.replace(
         cfg,
         shifts=0,
         segment=dataclasses.replace(
-            cfg.segment, max_shift_secs=0.0, chunk_batch=4
+            cfg.segment, max_shift_secs=0.0, chunk_batch=4, window_chunks=0
         ),
     )
 
@@ -360,6 +361,111 @@ _demix_fused_jit = jax.jit(
 def demix_fused(params, audio_p, state, cfg: EngineConfig, n_chunks: int, seg: int, stride: int):
     """Jitted whole-track fused demix (see :func:`_demix_fused_impl`)."""
     return _demix_fused_jit(params, audio_p, state, _device_cfg(cfg), n_chunks, seg, stride)
+
+
+def _demix_windowed_impl(
+    params: UMXParams,
+    audio_w: Array,
+    state: LSTMState,
+    tail: Array,
+    tail_w: Array,
+    cfg: EngineConfig,
+    W: int,
+    seg: int,
+    stride: int,
+    chunk_batch: int = 1,
+) -> tuple[Array, Array, Array, LSTMState]:
+    """One W-chunk WINDOW of the windowed-fused track mode: the unit
+    program that makes arbitrary track length run at fused-program
+    throughput (the 60-minute single fused program RESOURCE_EXHAUSTs;
+    the host chunk loop pays per-dispatch overhead on a remote tunnel).
+
+    Two carries chain windows into an exact fused track:
+
+    * the streaming LSTM state (exactly as chunks chain inside
+      :func:`_demix_fused_impl`'s scan), and
+    * the overlap-add BOUNDARY: the window's last chunk extends
+      ``seg - stride`` samples past its output region, so those samples'
+      UNNORMALIZED stem accumulation + weight sum (``tail``, ``tail_w``)
+      pass to the next window, which adds them at its start before
+      normalizing.  At <=50% overlap every output sample sums the same
+      addends as the single-program overlap-add, so windowed == fused to
+      float-add reassociation (bit-equal for the 25% default, where each
+      sample has exactly the same two contributions).
+
+    audio_w: (2, (W-1)*stride + seg).  Returns (normalized stems for the
+    window's first W*stride samples, next tail, next tail_w, next
+    state).  Non-streaming configs run the window interior as vmapped
+    ``chunk_batch``-wide segment groups (the parallel program's shape,
+    :func:`_demix_fused_parallel_impl`); the state passes through.
+    """
+    padded_w = (W - 1) * stride + seg
+    weight = _transition_weight(seg, cfg.segment.transition_power)
+    sdt = _resolve_stems_stack_dtype(cfg)
+
+    if cfg.segment.streaming:
+        def body(st, i):
+            chunk = jax.lax.dynamic_slice(audio_w, (0, i * stride), (2, seg))
+            chunk_out, new_st = _segment_forward_impl(params, chunk, st, cfg, seg)
+            return new_st, (weight * chunk_out).astype(sdt)
+
+        final_state, ys = jax.lax.scan(body, state, jnp.arange(W))
+    else:
+        cb = max(1, min(chunk_batch, W))
+        vcfg = _vmap_cfg(cfg, cb)
+        seg_state = init_lstm_state(cfg.model)
+        groups = []
+        for g in range(-(-W // cb)):
+            k0 = g * cb
+            width = min(cb, W - k0)
+            chunks = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(audio_w, (0, k * stride), (2, seg))
+                    for k in range(k0, k0 + width)
+                ]
+            )
+            outs, _ = jax.vmap(
+                lambda a: _segment_forward_impl(params, a, seg_state, vcfg, seg)
+            )(chunks)
+            groups.append(outs)
+        ys = (jnp.concatenate(groups, axis=0) * weight).astype(sdt)
+        final_state = state
+
+    # unnormalized overlap-add (the shipping unrolled form — no strided
+    # scatter, no transpose; see _normalized_overlap_add) + weight sum,
+    # then inject the carried boundary before normalizing
+    acc = jnp.zeros((*ys.shape[1:-1], padded_w), jnp.float32)
+    for k in range(W):
+        acc = acc.at[..., k * stride : k * stride + seg].add(
+            ys[k].astype(jnp.float32)
+        )
+    wsum = _overlap_add_chunks(
+        jnp.broadcast_to(weight, (W, seg)), stride, padded_w
+    )
+    tail_len = padded_w - W * stride  # == seg - stride
+    if tail_len:
+        acc = acc.at[..., :tail_len].add(tail)
+        wsum = wsum.at[:tail_len].add(tail_w)
+    out = acc[..., : W * stride] / wsum[: W * stride]
+    return out, acc[..., W * stride :], wsum[W * stride :], final_state
+
+
+_demix_windowed_jit = jax.jit(
+    _demix_windowed_impl,
+    static_argnames=("cfg", "W", "seg", "stride", "chunk_batch"),
+    donate_argnums=(2, 3, 4),
+)
+
+
+def demix_windowed_window(
+    params, audio_w, state, tail, tail_w,
+    cfg: EngineConfig, W: int, seg: int, stride: int, chunk_batch: int = 1,
+):
+    """Jitted one-window step (see :func:`_demix_windowed_impl`)."""
+    return _demix_windowed_jit(
+        params, audio_w, state, tail, tail_w,
+        _device_cfg(cfg), W, seg, stride, chunk_batch,
+    )
 
 
 @functools.partial(
@@ -618,6 +724,14 @@ def _finalize(out, sum_weight):
     return out / sum_weight
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_window(res, piece, offset):
+    """Write one window's stems into the donated full-track result
+    buffer (windowed-fused device mode: one resident output, no
+    concat double-buffer)."""
+    return jax.lax.dynamic_update_slice(res, piece, (0, 0, offset))
+
+
 @functools.partial(jax.jit, static_argnames=("seg",))
 def _chunk_at(audio_p, offset, seg: int):
     return jax.lax.dynamic_slice(audio_p, (0, offset), (2, seg))
@@ -643,6 +757,21 @@ class Separator:
     def __init__(self, params: UMXParams, cfg: EngineConfig = EngineConfig()):
         self.params = params
         self.cfg = cfg
+        self._window_plans: dict[int, int] = {}
+
+    def _window_plan(self, resident_bytes: int) -> int:
+        """Memoized auto window width (the planner walks the params
+        pytree; per-demix recomputation would cost host milliseconds).
+        ``resident_bytes`` is rounded UP to 256 MB buckets so tracks of
+        similar length share an entry without loosening the budget."""
+        key = -(-resident_bytes // 2**28) * 2**28
+        if key not in self._window_plans:
+            from umx_tpu.engine.memory import suggest_window_chunks
+
+            self._window_plans[key] = suggest_window_chunks(
+                self.cfg, params=self.params, resident_bytes=key
+            )
+        return self._window_plans[key]
 
     @classmethod
     def from_ggml(
@@ -694,11 +823,44 @@ class Separator:
 
         state = init_lstm_state(cfg.model)
 
+        n_chunks = max(1, math.ceil(length / stride))
+        padded_len = (n_chunks - 1) * stride + seg
+
+        cb = cfg.segment.chunk_batch
+        if fused and cb <= 0:  # auto: planner-picked group width (config.py)
+            from umx_tpu.engine.memory import suggest_chunk_batch
+
+            cb = suggest_chunk_batch(cfg, length / sr, params=self.params)
+
+        # windowed-fused: chain W-chunk fused windows when the whole
+        # track exceeds what one program can hold (config.py
+        # window_chunks; the 60-min single program OOMs, PERF.md).
+        # Decided BEFORE the whole track is placed on device — host
+        # callers stream window slices in and stems out, so HBM stays
+        # bounded for ANY track length.  The A/B stream_impl arms keep
+        # their single-program shapes.
+        if fused and (cfg.stream_impl == "scan" or not cfg.segment.streaming):
+            Wc = cfg.segment.window_chunks
+            if Wc == 0:
+                resident = 0
+                if isinstance(audio, jax.Array):
+                    # device-resident caller: full-track audio + the
+                    # accumulated output stems stay in HBM across
+                    # windows (host callers fetch each window out)
+                    s = cfg.model.n_targets
+                    resident = (2 + s * 2) * padded_len * 4
+                Wc = self._window_plan(resident)
+                if n_chunks <= Wc:
+                    Wc = -1  # whole track fits: single fused program
+            if Wc > 0 and n_chunks > Wc:
+                out = self._demix_windowed(
+                    audio, n_chunks, seg, stride, Wc, cb, progress
+                )
+                return out[..., :length]
+
         # pad so every chunk is one full segment (fixed shapes -> one XLA
         # program for all chunks of all tracks).  Device-resident audio
         # stays on device (no host round trip).
-        n_chunks = max(1, math.ceil(length / stride))
-        padded_len = (n_chunks - 1) * stride + seg
         if isinstance(audio, jax.Array):
             audio_p = jnp.pad(audio.astype(jnp.float32), ((0, 0), (0, padded_len - length)))
         else:
@@ -707,13 +869,6 @@ class Separator:
             )
 
         if fused:
-            cb = cfg.segment.chunk_batch
-            if cb <= 0:  # auto: planner-picked group width (config.py)
-                from umx_tpu.engine.memory import suggest_chunk_batch
-
-                cb = suggest_chunk_batch(
-                    cfg, length / sr, params=self.params
-                )
             if not cfg.segment.streaming:
                 # Non-streaming: segments are independent, so the
                 # chunk-batched program wins — batched chunks fold into
@@ -768,6 +923,82 @@ class Separator:
                 progress((i + 1) / n_chunks)
 
         return _finalize(out, sum_weight)[..., :length]
+
+    def _demix_windowed(
+        self,
+        audio_p,
+        n_chunks: int,
+        seg: int,
+        stride: int,
+        W: int,
+        chunk_batch: int,
+        progress=None,
+    ):
+        """Windowed-fused track demix: ceil(n_chunks/W) W-chunk fused
+        windows chained by LSTM state + the unnormalized overlap-add
+        boundary (see :func:`_demix_windowed_impl`).  One compiled
+        program serves every window of every track (fixed shapes).
+
+        audio_p: (2, (n_chunks-1)*stride + seg), host numpy or device.
+        Host input => each window's stems are fetched to host as they
+        finish (bounded HBM for ANY length) and a host array returns;
+        device input (the bench convention: audio pre-placed, stems
+        drained by a scalar fetch) => stems stay device-resident and a
+        device array returns.
+        """
+        cfg = self.cfg
+        n_windows = -(-n_chunks // W)
+        total_chunks = n_windows * W
+        full_len = (total_chunks - 1) * stride + seg
+        grow = full_len - audio_p.shape[-1]
+        on_device = isinstance(audio_p, jax.Array)
+        if on_device:
+            if grow:
+                audio_p = jnp.pad(audio_p, ((0, 0), (0, grow)))
+        else:
+            audio_p = np.pad(np.asarray(audio_p, np.float32), ((0, 0), (0, grow)))
+
+        tail_len = seg - stride
+        state = init_lstm_state(cfg.model)
+        tail = jnp.zeros((cfg.model.n_targets, 2, tail_len), jnp.float32)
+        tail_w = jnp.zeros((tail_len,), jnp.float32)
+        padded_w = (W - 1) * stride + seg
+
+        if on_device:
+            # in-place donated accumulator: a jnp.concatenate at the end
+            # would double-buffer the full-track stems (2 x 5 GB at 60
+            # minutes) — the donated dynamic_update_slice writes each
+            # window into ONE resident result buffer instead
+            res = jnp.zeros(
+                (cfg.model.n_targets, 2, full_len), jnp.float32
+            )
+        else:
+            res = np.empty(
+                (cfg.model.n_targets, 2, full_len), np.float32
+            )
+
+        for j in range(n_windows):
+            s0 = j * W * stride
+            a = audio_p[:, s0 : s0 + padded_w]
+            if not on_device:
+                a = jax.device_put(a)
+            out_j, tail, tail_w, state = demix_windowed_window(
+                self.params, a, state, tail, tail_w,
+                cfg, W, seg, stride, chunk_batch,
+            )
+            if on_device:
+                res = _write_window(res, out_j, jnp.int32(s0))
+            else:
+                res[..., s0 : s0 + W * stride] = np.asarray(out_j)
+            if progress is not None:
+                progress((j + 1) / n_windows)
+        # the last window's tail is the end of the (padded) track:
+        # normalize and append so output covers the full padded length
+        last = _finalize(tail, tail_w)
+        if on_device:
+            return _write_window(res, last, jnp.int32(full_len - tail_len))
+        res[..., full_len - tail_len :] = np.asarray(last)
+        return res
 
     # -- shift_inference (umx.cpp:99-150) ----------------------------------
 
