@@ -589,6 +589,91 @@ def umx_recurrence(
     return _recurrence_scan(params, x1, state, cfg, spec)
 
 
+def _recurrence_pallas_batched(
+    params: UMXParams, x1_b: Array, state_b: LSTMState, cfg: ModelConfig,
+    compute, interpret: bool = False,
+):
+    """Explicitly-BATCHED 3-layer BLSTM on the merged kernel — the
+    TRAINING recurrence.  Unlike :func:`_recurrence_pallas` (whose
+    custom_vmap wrapper folds mapped axes but blocks reverse-mode AD at
+    its call primitive), the batch axis here is a real leading dimension
+    passed straight into the differentiable batched kernel entry
+    (ops/lstm_pallas.lstm_layer_pallas_merged_batched, custom VJP), so
+    jax.grad rides the residual-forward + reverse-grid backward kernels.
+
+    x1_b: (B, T#, T, H); state_b: batched LSTMState (B, T#, L, D, G).
+    """
+    from umx_tpu.ops.lstm_pallas import lstm_layer_pallas_merged_batched
+
+    dtype, prec = compute
+    lstm_in = x1_b
+    hTs, cTs = [], []
+    for layer in range(cfg.n_lstm_layers):
+        # (B, T#, D, T, in): forward rows + time-reversed rows
+        xs = jnp.stack([lstm_in, lstm_in[:, :, ::-1]], axis=2)
+        proj = jnp.einsum(
+            "bjdti,jdig->bjtdg",
+            xs.astype(dtype),
+            params.lstm_ih_w[:, layer].astype(dtype),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        x_proj = proj + (
+            params.lstm_ih_b[:, layer] + params.lstm_hh_b[:, layer]
+        )[None, :, None]
+        hs, hT, cT = lstm_layer_pallas_merged_batched(
+            x_proj,
+            params.lstm_hh_w[:, layer],
+            state_b.h[:, :, layer],
+            state_b.c[:, :, layer],
+            time_block=cfg.lstm_time_block,
+            interpret=interpret,
+        )
+        lstm_in = jnp.concatenate([hs[:, :, :, 0], hs[:, :, ::-1, 1]], axis=-1)
+        hTs.append(hT)
+        cTs.append(cT)
+
+    return lstm_in, LSTMState(h=jnp.stack(hTs, axis=2), c=jnp.stack(cTs, axis=2))
+
+
+def umx_recurrence_batched(
+    params: UMXParams, x1_b: Array, state_b: LSTMState, cfg: ModelConfig,
+    compute="default", interpret: bool = False,
+) -> tuple[Array, LSTMState]:
+    """Batched recurrence dispatch (training path): the differentiable
+    merged kernel where inference would use it (lstm_impl auto on TPU,
+    dense weights), the vmapped scan elsewhere."""
+    from umx_tpu.ops.qmatmul import QTensor
+
+    spec = resolve_compute(compute)
+    impl = resolve_lstm_impl(cfg.lstm_impl)
+    if impl == "pallas_merged" and not isinstance(params.lstm_hh_w, QTensor):
+        return _recurrence_pallas_batched(
+            params, x1_b, state_b, cfg, spec, interpret=interpret
+        )
+    out, st = jax.vmap(
+        lambda x1, h, c: _recurrence_scan(params, x1, LSTMState(h=h, c=c), cfg, spec)
+    )(x1_b, state_b.h, state_b.c)
+    return out, st
+
+
+def umx_forward_batched(
+    params: UMXParams, x_b: Array, state_b: LSTMState, cfg: ModelConfig,
+    compute="default",
+) -> tuple[Array, LSTMState]:
+    """Batched all-targets mask network (training forward): state-free
+    pre/post phases vmap over the batch; the recurrence takes the batch
+    axis explicitly so training differentiates THROUGH the merged kernel
+    (see :func:`umx_recurrence_batched`).  x_b: (B, T, F)."""
+    spec = resolve_compute(compute)
+    x1_b = jax.vmap(lambda x: umx_pre(params, x, cfg, spec))(x_b)
+    lstm_out, new_state = umx_recurrence_batched(params, x1_b, state_b, cfg, spec)
+    masks = jax.vmap(
+        lambda a, b: umx_post(params, a, b, cfg, spec)
+    )(x1_b, lstm_out)
+    return masks, new_state
+
+
 def umx_recurrence_pipelined_step(
     params: UMXParams,
     stage_inputs: list,

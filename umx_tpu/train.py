@@ -28,7 +28,7 @@ import optax
 
 from umx_tpu.config import ModelConfig
 from umx_tpu.engine.separator import apply_masks
-from umx_tpu.models.umx import UMXParams, init_lstm_state, umx_forward
+from umx_tpu.models.umx import UMXParams, init_lstm_state
 
 Array = jax.Array
 
@@ -175,18 +175,25 @@ def mask_loss(params: UMXParams, batch: dict[str, Array], cfg: ModelConfig) -> A
       target_mag  (B, T#, 2, T, n_bins)
     """
 
-    # the Pallas recurrence kernels define no VJP — training always
-    # differentiates through the lax.scan BLSTM, whatever inference uses
-    if cfg.lstm_impl != "scan":
+    # The MERGED Pallas recurrence defines a custom VJP (residual-mode
+    # forward + reverse-grid backward kernels, ops/lstm_pallas.py), so
+    # training rides the kernel wherever inference does (lstm_impl auto
+    # resolves to pallas_merged on TPU) — via the EXPLICITLY-batched
+    # forward, because the inference path's custom_vmap wrapper blocks
+    # reverse-mode AD at its call primitive.  Only the non-merged /
+    # interpret kernels remain forward-only: map those to the scan.
+    from umx_tpu.models.umx import resolve_lstm_impl, umx_forward_batched
+
+    if resolve_lstm_impl(cfg.lstm_impl) not in ("scan", "pallas_merged"):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, lstm_impl="scan")
 
-    def one(xb):
-        masks, _ = umx_forward(params, xb, init_lstm_state(cfg), cfg)
-        return masks
-
-    masks = jax.vmap(one)(batch["x"])  # (B, T#, T, O)
+    B = batch["x"].shape[0]
+    state_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B, *x.shape)), init_lstm_state(cfg)
+    )
+    masks, _ = umx_forward_batched(params, batch["x"], state_b, cfg)  # (B, T#, T, O)
     pred = jax.vmap(lambda m, mg: apply_masks(m, mg, cfg.n_bins))(masks, batch["mix_mag"])
     return jnp.mean(jnp.square(pred - batch["target_mag"]))
 
@@ -212,8 +219,19 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig):
 
 def make_sharded_train_step(cfg: ModelConfig, tcfg: TrainConfig, mesh, tp: bool = True):
     """The train step jitted over a (dp, tp) mesh: batch sharded on dp,
-    params/optimizer state sharded on tp over the target axis."""
+    params/optimizer state sharded on tp over the target axis.
+
+    The MESH-sharded step pins the recurrence to the lax.scan BLSTM:
+    XLA's sharding propagation partitions a scan transparently, whereas
+    a pallas_call under pjit would need explicit shard_map plumbing for
+    its operands (the single-chip trainer — the measured configuration —
+    rides the merged kernel's custom VJP via mask_loss's auto
+    resolution)."""
+    import dataclasses
+
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = dataclasses.replace(cfg, lstm_impl="scan")
 
     pspec = NamedSharding(mesh, P("tp") if tp else P())
     bspec = NamedSharding(mesh, P("dp"))
