@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Fleet-scale end-to-end certification: a synthetic MUSDB-shaped test
+set (default 50 tracks, real MUSDB18 length distribution ~2-7 min)
+through engine/fleet.demix_tracks with planner-picked buckets, on the
+active backend.  Prints ONE driver-parseable JSON line with the
+aggregate xRT for the full-set shape (BASELINE.json config 5's role:
+"demix the whole test set"; reference analog:
+scripts/evaluate-demixed-output.py over all tracks).
+
+The point is to exercise bucketing + HBM planning at realistic scale:
+MUSDB lengths collapse to ~8 chunk-count buckets at the 60 s/45 s
+segment grid, bucket sizes exceed the planner's per-dispatch cap (so
+sub-batch splitting runs), and every dispatch goes through the batched
+fused program.
+
+  python scripts/fleet-certify.py [--tracks 50] [--hidden 1024]
+         [--streaming 1] [--shifts 1] [--seed 0] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def musdb_durations(n: int, rng) -> list[float]:
+    """Synthetic MUSDB18-test-like track lengths: mean ~236 s, sd ~60 s,
+    clipped to the real set's [~130 s, ~420 s] envelope."""
+    return [float(x) for x in rng.normal(236.0, 60.0, n).clip(130.0, 420.0)]
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tracks", type=int, default=50)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--streaming", type=int, default=1)
+    p.add_argument("--shifts", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--segment-secs", type=float, default=60.0)
+    p.add_argument(
+        "--quick", action="store_true",
+        help="tiny CI shape: 6 short tracks, h=64, 0.5 s segments",
+    )
+    args = p.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/umx_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from umx_tpu.config import EngineConfig, ModelConfig, SegmentConfig
+    from umx_tpu.engine.fleet import demix_tracks
+    from umx_tpu.models.umx import synthetic_params
+
+    rng = np.random.default_rng(args.seed)
+    if args.quick:
+        args.tracks, args.hidden, args.segment_secs = 6, 64, 0.5
+        durations = [float(x) for x in rng.uniform(1.0, 3.0, args.tracks)]
+    else:
+        durations = musdb_durations(args.tracks, rng)
+
+    cfg = EngineConfig(
+        model=ModelConfig(hidden_size=args.hidden),
+        segment=SegmentConfig(
+            segment_secs=args.segment_secs, streaming=bool(args.streaming)
+        ),
+        shifts=args.shifts,
+    )
+    params = synthetic_params(cfg.model, seed=0)
+
+    sr = cfg.dsp.sample_rate
+    print(
+        f"# backend={jax.default_backend()} tracks={args.tracks} "
+        f"total_audio={sum(durations):.0f}s "
+        f"lengths=[{min(durations):.0f}..{max(durations):.0f}]s",
+        file=sys.stderr,
+    )
+    tracks = [
+        (0.4 * rng.standard_normal((2, int(d * sr)))).astype(np.float32)
+        for d in durations
+    ]
+
+    # bucket census (what the fleet runner will see)
+    import math
+    from collections import Counter
+
+    stride = cfg.segment.stride_samples(sr)
+    max_shift = cfg.segment.max_shift_samples(sr)
+    census = Counter(
+        max(1, math.ceil((t.shape[1] + (max_shift if args.shifts else 0)) / stride))
+        for t in tracks
+    )
+    print(f"# chunk-count buckets: {dict(sorted(census.items()))}", file=sys.stderr)
+
+    # full warm pass: the program cache keys on (n_chunks, batch), and
+    # sub-batch splitting means the timed pass's exact batch shapes only
+    # appear when running the full set — so warm with the full set (the
+    # persistent compile cache keeps it cheap across invocations)
+    t0 = time.perf_counter()
+    demix_tracks(params, tracks, cfg)
+    print(f"# warm pass (full set): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    outs = demix_tracks(params, tracks, cfg)
+    wall = time.perf_counter() - t0
+
+    total_audio = sum(durations)
+    for t, o in zip(tracks, outs):
+        assert o.shape == (cfg.model.n_targets, 2, t.shape[1])
+        assert np.isfinite(o).all()
+
+    xrt = total_audio / wall
+    name = f"xRT_{'umxl' if args.hidden >= 1024 else 'umxhq'}_fleet_musdb{args.tracks}"
+    if not args.streaming:
+        name += "_nostream"
+    print(json.dumps({
+        "metric": name,
+        "value": round(xrt, 2),
+        "unit": "audio_sec_per_wall_sec",
+        "vs_baseline": round(xrt / 100.0, 4),
+        "tracks": args.tracks,
+        "total_audio_s": round(total_audio, 1),
+        "wall_s": round(wall, 2),
+        "buckets": {str(k): v for k, v in sorted(census.items())},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

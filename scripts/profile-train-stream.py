@@ -25,6 +25,12 @@ def main() -> int:
     p.add_argument("--seq-len", type=int, default=256)
     p.add_argument("--stream-secs", type=float, default=120.0)
     p.add_argument("--segment-secs", type=float, default=60.0)
+    p.add_argument(
+        "--lstm-impl", default="auto", choices=("auto", "scan", "pallas_merged"),
+        help="recurrence impl for the trainer A/B: auto resolves to the "
+        "merged kernel (custom VJP) on TPU, the lax.scan elsewhere",
+    )
+    p.add_argument("--skip-stream", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -48,7 +54,7 @@ def main() -> int:
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
 
     # ---- trainer ------------------------------------------------------------
-    mcfg = ModelConfig(hidden_size=args.hidden)
+    mcfg = ModelConfig(hidden_size=args.hidden, lstm_impl=args.lstm_impl)
     tcfg = TrainConfig(seq_len=args.seq_len)
     dsp = DSPConfig()
     rng = np.random.default_rng(0)
@@ -72,12 +78,29 @@ def main() -> int:
     wall = time.perf_counter() - t0
     sps = args.steps / wall
     audio_sps = sps * args.batch * n / dsp.sample_rate
+    # matmul-FLOPs model: every matmul weight is applied once per frame
+    # per direction-instance, so fwd FLOPs ~= 2 * B * T * sum(matmul
+    # weight sizes); a training step ~= 3x fwd (forward + input-grad +
+    # weight-grad matmuls).  MFU against the v5e bf16 peak (197 TF/s).
+    h, g = mcfg.hidden_size, mcfg.lstm_hidden
+    mat = mcfg.n_targets * (
+        mcfg.n_features * h
+        + 2 * (h * 4 * g + 2 * (2 * g * 4 * g)) + 2 * 3 * (g * 4 * g)
+        + 2 * h * h + h * mcfg.n_outputs
+    )
+    flops_step = 3 * 2 * args.batch * args.seq_len * mat
+    peak = 197e12 if jax.default_backend() == "tpu" else float("nan")
+    mfu = flops_step * sps / peak
     print(
-        f"train[h={args.hidden} B={args.batch} T={args.seq_len}]: "
+        f"train[h={args.hidden} B={args.batch} T={args.seq_len} "
+        f"impl={args.lstm_impl}]: "
         f"{sps:.2f} steps/s ({wall / args.steps * 1000:.0f} ms/step, "
-        f"{audio_sps:.0f} audio-sec/s), loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        f"{audio_sps:.0f} audio-sec/s, MFU {100 * mfu:.1f}%), "
+        f"loss {losses[0]:.4f} -> {losses[-1]:.4f}"
     )
     assert losses[-1] < losses[0] and np.isfinite(losses).all()
+    if args.skip_stream:
+        return 0
 
     # ---- streaming ----------------------------------------------------------
     from umx_tpu.engine.streaming import StreamingDemixer

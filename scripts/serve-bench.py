@@ -165,6 +165,7 @@ def main() -> int:
         "device_xrt": round(total_audio / busy_s, 1) if busy_s else None,
         "latency_p50_s": round(pct(0.5), 2),
         "latency_p95_s": round(pct(0.95), 2),
+        "latency_p99_s": round(pct(0.99), 2),
         "batching": info["batching"],
         "autoscaling": info["autoscaling"],
     }))

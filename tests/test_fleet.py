@@ -173,3 +173,23 @@ def test_fleet_multi_shift_matches_per_track(cfg, params, tracks):
     for seed, track, out in zip([4, 5], tracks[:2], outs):
         ref = sep.demix_track(track, seed=seed)
         np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_fleet_certify_quick_smoke():
+    """The fleet certification harness (scripts/fleet-certify.py) runs
+    end-to-end at CI shape and emits one parseable JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scripts/fleet-certify.py", "--quick"],
+        capture_output=True, text=True, timeout=600,
+        env={"UMX_TPU_PLATFORM": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"].startswith("xRT_") and d["value"] > 0
+    assert d["tracks"] == 6
