@@ -38,6 +38,12 @@ def main() -> int:
     p.add_argument("--max-batch", type=int, default=4)
     p.add_argument("--port", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU (hermetic test)")
+    p.add_argument(
+        "--ttl-probe", action="store_true",
+        help="after the timed window, demonstrate session TTL eviction "
+        "under abandonment: start sessions on a 2 s-TTL server, abandon "
+        "them, and show the table drain + 404 on a stale push",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -170,6 +176,54 @@ def main() -> int:
         "autoscaling": info["autoscaling"],
     }))
     srv.shutdown()
+
+    if args.ttl_probe:
+        # abandoned-session behavior on a short-TTL server: 3 sessions
+        # started and dropped; after the TTL the next session operation
+        # lazily evicts them, and a push to an evicted id is a 404.
+        import urllib.error
+
+        srv2 = serve(model_path, port=0, segment_secs=args.segment_secs,
+                     max_batch=args.max_batch, session_ttl_s=2.0)
+        threading.Thread(target=srv2.serve_forever, daemon=True).start()
+        base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+        sids = []
+        for _ in range(3):
+            with urllib.request.urlopen(
+                urllib.request.Request(base2 + "/stream/start", method="POST"),
+                timeout=600,
+            ) as r:
+                sids.append(json.loads(r.read())["session"])
+        with urllib.request.urlopen(base2 + "/info", timeout=60) as r:
+            before = json.loads(r.read())["streaming_sessions"]
+        time.sleep(2.5)  # all three idle past the TTL
+        with urllib.request.urlopen(
+            urllib.request.Request(base2 + "/stream/start", method="POST"),
+            timeout=600,
+        ) as r:
+            json.loads(r.read())
+        with urllib.request.urlopen(base2 + "/info", timeout=60) as r:
+            after = json.loads(r.read())["streaming_sessions"]
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base2 + f"/stream/push?session={sids[0]}",
+                    data=b"\x00" * 8, method="POST",
+                ),
+                timeout=60,
+            )
+            stale = "NO ERROR (bug)"
+        except urllib.error.HTTPError as e:
+            stale = f"HTTP {e.code}"
+        print(json.dumps({
+            "ttl_probe": {
+                "ttl_s": 2.0,
+                "abandoned_sessions": before,
+                "sessions_after_ttl_plus_start": after,
+                "stale_push": stale,
+            }
+        }))
+        srv2.shutdown()
     return 0
 
 

@@ -498,10 +498,29 @@ def _make_merged_bwd_kernel(K: int, last_k: int, R: int, B: int):
 
 
 def _pick_K(T: int, RB: int, G4: int, time_block: int) -> int:
-    """Time-block size shared by the inference, residual-forward and
-    backward kernels (they must agree on blocking)."""
+    """Inference-kernel time-block size: bound the double-buffered xp
+    block to 24 MB."""
     row_bytes = RB * G4 * 4
     return max(1, min(time_block, T, (24 * 1024 * 1024) // max(1, row_bytes)))
+
+
+def _pick_K_train(T: int, RB: int, R: int, G4: int, time_block: int) -> int:
+    """Time-block size SHARED by the residual forward and backward
+    kernels (the residual layout — gates/cs blocks plus per-block
+    hin/cin — bakes in the blocking, so fwd and bwd must agree).
+
+    Sized against the BACKWARD kernel's scoped-VMEM budget, its worst
+    case: resident bf16 weights (2 B/elt) + the f32 dW accumulator
+    (4 B/elt) + double-buffered gates/dxp (4G wide) and cs/hs/dhs blocks.
+    At UMX-L batch 32 the inference _pick_K choice (K=8) measured a
+    124 MB scoped allocation against the 100 MB limit — this bound keeps
+    large-batch training compiling instead of VMEM-OOMing, shrinking K
+    only when RB grows past what the budget affords."""
+    G = G4 // 4
+    fixed = R * G * G4 * 6 + 8 * RB * G * 4  # hh(bf16)+dW(f32), hin/cin/carries
+    per_k = RB * G4 * 4 * 4 + RB * G * 4 * 6  # gates,dxp x dbuf; cs/hs/dhs x dbuf
+    budget = 92 * 1024 * 1024 - fixed
+    return max(1, min(time_block, T, budget // max(1, per_k)))
 
 
 def _merged_rows_train_fwd(xp_rows, hh_flat, h0_rows, c0_rows, B, time_block, interpret):
@@ -510,7 +529,7 @@ def _merged_rows_train_fwd(xp_rows, hh_flat, h0_rows, c0_rows, B, time_block, in
     R = RB // B
     G = G4 // 4
     hh_b = hh_flat.astype(jnp.bfloat16)
-    K = _pick_K(T, RB, G4, time_block)
+    K = _pick_K_train(T, RB, R, G4, time_block)
     n_blocks = -(-T // K)
     T_pad = n_blocks * K
     last_k = T - (n_blocks - 1) * K
@@ -566,7 +585,7 @@ def _merged_rows_train_bwd(B, time_block, interpret, res, cts):
     R = RB // B
     G = G4 // 4
     T = dhs.shape[0]
-    K = _pick_K(T, RB, G4, time_block)
+    K = _pick_K_train(T, RB, R, G4, time_block)
     n_blocks = T_pad // K
     last_k = T - (n_blocks - 1) * K
     if T_pad != T:
