@@ -14,6 +14,7 @@ shape → one XLA program, reused across buckets of the same size.
 from __future__ import annotations
 
 import math
+import time
 from collections import defaultdict
 
 import jax
@@ -100,11 +101,20 @@ def demix_tracks(
     cfg: EngineConfig = EngineConfig(),
     mesh: Mesh | None = None,
     seeds: list[int] | None = None,
+    stats: dict | None = None,
 ) -> list[np.ndarray]:
     """Demix many tracks, data-parallel over the mesh's dp axis.
 
     tracks: list of (2, n_i) float32 arrays (lengths may differ).
     Returns a list of (n_targets, 2, n_i) arrays in input order.
+
+    stats: optional dict that accumulates per-dispatch phase walls —
+    ``upload_s`` (host->device input transfer), ``compute_s`` (device
+    program), ``download_s`` (device->host stems), ``dispatches``,
+    ``rows`` (total track rows dispatched).  Each phase is closed with a
+    scalar device fetch (`block_until_ready` is not a barrier on the
+    axon backend), which adds one tiny round-trip per phase — leave
+    stats=None on latency-critical paths.
     """
     sr = cfg.dsp.sample_rate
     seg = cfg.segment.segment_samples(sr)
@@ -184,6 +194,7 @@ def demix_tracks(
                     _vmap_cfg(cfg, len(batch)), n_chunks, seg, stride,
                     batch=len(batch),
                 )
+                t0 = time.perf_counter()
                 audio_b = jnp.asarray(np.stack(batch))
                 st = init_lstm_state(cfg.model)
                 states = jax.tree.map(
@@ -193,8 +204,21 @@ def demix_tracks(
                     sh = NamedSharding(mesh, P("dp"))
                     audio_b = jax.device_put(audio_b, sh)
                     states = jax.tree.map(lambda x: jax.device_put(x, sh), states)
+                if stats is not None:
+                    _ = float(jnp.sum(audio_b[:, :, 0]))  # upload barrier
+                    t1 = time.perf_counter()
                 out_b, _ = fn(params_r, audio_b, states)
+                if stats is not None:
+                    _ = float(jnp.sum(out_b[..., 0]))  # compute barrier
+                    t2 = time.perf_counter()
                 out_b = np.asarray(out_b)
+                if stats is not None:
+                    t3 = time.perf_counter()
+                    stats["upload_s"] = stats.get("upload_s", 0.0) + (t1 - t0)
+                    stats["compute_s"] = stats.get("compute_s", 0.0) + (t2 - t1)
+                    stats["download_s"] = stats.get("download_s", 0.0) + (t3 - t2)
+                    stats["dispatches"] = stats.get("dispatches", 0) + 1
+                    stats["rows"] = stats.get("rows", 0) + len(batch)
                 for (idx, offset, length, _, _), out in zip(sub, out_b):
                     contrib = out[..., offset : offset + length] / n_passes
                     results[idx] = (
