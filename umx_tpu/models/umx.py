@@ -176,10 +176,19 @@ def params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXParams:
 
 def quantized_params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXParams:
     """Like :func:`params_from_ggml` but keeps the large matmul weights
-    (fc1/fc2/fc3, LSTM ih/hh) quantized in HBM as QTensors — the ggml
+    (fc1/fc2/fc3, LSTM ih) quantized in HBM as QTensors — the ggml
     u8/u16 payloads stay byte-exact on device and dequantization is
     fused algebraically into each gemm (ops/qmatmul.py).  Small vectors
     (batchnorm stats, means/scales, biases) are dequantized to float32.
+
+    The LSTM *hh* weights are pre-densified to bfloat16 instead: u8
+    planes are stored as bf16 bytes anyway (ops/qmatmul.py), so a dense
+    bf16 hh costs ZERO extra HBM while letting the recurrence ride the
+    merged Pallas kernel without a per-dispatch densify pass — and
+    bf16(f32-affine) is bit-identical to what the kernel computed from
+    the in-program densify before.  The exact affine epilogue stays on
+    the batched, MXU-friendly ih/fc gemms where the u8/u16 payloads'
+    extra precision is preserved.
 
     Requires a GGMLModel parsed with ``keep_quantized=True``.
     """
@@ -219,7 +228,7 @@ def quantized_params_from_ggml(model, cfg: ModelConfig | None = None) -> UMXPara
         fc2_w=q_stack("fc2.weight", transpose=True),
         fc3_w=q_stack("fc3.weight", transpose=True),
         lstm_ih_w=q_stack_lstm("weight_ih"),
-        lstm_hh_w=q_stack_lstm("weight_hh"),
+        lstm_hh_w=base.lstm_hh_w.astype(jnp.bfloat16),
     )
 
 
