@@ -390,7 +390,7 @@ def suggest_max_fleet_batch(
 def suggest_window_chunks(
     cfg: EngineConfig,
     hbm_bytes: int | None = None,
-    safety: float = 0.75,
+    safety: float = 0.87,
     quantized: bool = False,
     params=None,
     resident_bytes: int = 0,
@@ -411,11 +411,15 @@ def suggest_window_chunks(
     output stems live against the next call's scan buffers and blow it.
     The window planner models exactly that steady state: each window's
     footprint plus the PREVIOUS window's normalized output region
-    (s x 2 x w*stride f32, live until fetched/kept), under a tighter
-    default safety (0.75), so the suggested W lands at the proven
-    30-minute scale rather than the measured-failing 60-minute one.
-    Wider windows buy nothing anyway — per-window overhead is one
-    dispatch (~3 ms) against a multi-second window wall.
+    (s x 2 x w*stride f32, live until fetched/kept).
+
+    The 0.87 default safety is a round-5 measured bracket on the
+    60-minute device-resident shape (resident 7.2 GiB of audio+stems):
+    W=30 (model total 13.67 GiB = 0.868 x HBM) runs the 3-pass bench
+    steady-state, W=40 (15.79 GiB) RESOURCE_EXHAUSTs — and wider
+    windows DO pay: the same track measured 894x at W=21 vs 967x at
+    W=30 (per-window glue plus the last window's silent-chunk padding;
+    the caller rounds auto W down to the even split for the latter).
     """
     budget = (device_hbm_bytes() if hbm_bytes is None else hbm_bytes) * safety
     budget -= resident_bytes

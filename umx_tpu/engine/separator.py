@@ -852,6 +852,15 @@ class Separator:
                 Wc = self._window_plan(resident)
                 if n_chunks <= Wc:
                     Wc = -1  # whole track fits: single fused program
+                else:
+                    # even split: ceil(n/ceil(n/W)) computes the same
+                    # number of windows with the smallest W — a W that
+                    # doesn't divide n_chunks pads the last window with
+                    # silent chunks (measured: 80 chunks at W=30 runs
+                    # 90 chunks' compute; W=27 runs 81 at the same
+                    # window count), and a smaller W only shrinks the
+                    # footprint, so the planner's fit still holds
+                    Wc = -(-n_chunks // -(-n_chunks // Wc))
             if Wc > 0 and n_chunks > Wc:
                 out = self._demix_windowed(
                     audio, n_chunks, seg, stride, Wc, cb, progress
