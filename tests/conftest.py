@@ -26,7 +26,7 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("UMX_TEST_CACHE_DIR", "/tmp/umx_tpu_xla_cache_cpu"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

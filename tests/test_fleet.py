@@ -84,6 +84,7 @@ def test_fleet_nonstreaming_matches_per_track(cfg, params, tracks):
         np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fleet_nonstreaming_with_shifts_matches_per_track(cfg, params, tracks):
     """Shift padding composes with the non-streaming parallel route:
     fleet multi-shift averaging must equal Separator.demix_track, whose

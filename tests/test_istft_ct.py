@@ -40,6 +40,7 @@ def _perm_to_frames(xp):
 
 
 class TestCT2Stages:
+    @pytest.mark.slow
     def test_xla_stages_match_dense_irdft(self):
         re, im = _random_planes()
         win = stft_ops.hann_window(4096)
@@ -99,7 +100,10 @@ class TestPermutedOLA:
 class TestEndToEnd:
     @pytest.mark.parametrize(
         "algo",
-        ["ct2_xla", pytest.param("ct2_interpret", marks=pytest.mark.slow)],
+        [
+            pytest.param("ct2_xla", marks=pytest.mark.slow),
+            pytest.param("ct2_interpret", marks=pytest.mark.slow),
+        ],
     )
     def test_istft_planes_ct2_matches_dense(self, algo):
         cfg = DSPConfig(fft_impl="matmul", dft_precision="highest")

@@ -92,6 +92,7 @@ def test_every_stage_matches_torch(cfg, state_dicts, params, target):
         )
 
 
+@pytest.mark.slow
 def test_streaming_boundary_matches_torch(cfg, state_dicts, params):
     """Two sequential segments with the LSTM carry flowing across the
     boundary must agree with nn.LSTM given the previous segment's (h, c)

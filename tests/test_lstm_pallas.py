@@ -166,6 +166,7 @@ def test_merged_kernel_batch_native_vmap():
     )
 
 
+@pytest.mark.slow
 def test_full_forward_pallas_matches_scan(cfg_scan, cfg_pallas, params, x):
     st = init_lstm_state(cfg_scan)
     m_scan, st_scan = umx_forward(params, x, st, cfg_scan, "bfloat16")
@@ -175,6 +176,7 @@ def test_full_forward_pallas_matches_scan(cfg_scan, cfg_pallas, params, x):
     np.testing.assert_allclose(np.asarray(st_pal.h), np.asarray(st_scan.h), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_pallas_with_quantized_weights(cfg_pallas, cfg_scan, x):
     """Quantized-HBM params must work through the Pallas forward (ih as
     fused-dequant einsums, hh densified for VMEM residency)."""

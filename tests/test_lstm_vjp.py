@@ -71,6 +71,7 @@ def _ref_scan(xp, hh, h0, c0, B, Tn, T, D, G):
     return hs, hT.reshape(B, Tn, D, G), cT.reshape(B, Tn, D, G)
 
 
+@pytest.mark.slow
 def test_primal_matches_scan(shapes):
     s = shapes
     hs, hT, cT = lstm_layer_pallas_merged_batched(
@@ -112,6 +113,7 @@ def test_vjp_matches_scan_autodiff(shapes):
         assert a.dtype == np.float32
 
 
+@pytest.mark.slow
 def test_vjp_even_blocks(shapes):
     """T an exact multiple of the time block (the all-unrolled branch)."""
     s = shapes
@@ -136,6 +138,7 @@ def test_vjp_even_blocks(shapes):
         np.testing.assert_allclose(a, b, atol=0.02 * np.abs(b).max())
 
 
+@pytest.mark.slow
 def test_train_step_rides_kernel_and_loss_decreases():
     """End-to-end: mask_loss through the batched kernel recurrence in
     interpret mode — the training composition (value_and_grad over the

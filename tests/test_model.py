@@ -52,6 +52,7 @@ def test_forward_matches_torch_oracle(cfg, state_dicts, params, x, scaling):
     np.testing.assert_allclose(np.asarray(masks), ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_bfloat16_matmul_path_close_to_f32(cfg, params, x):
     """The bf16 fast path (bf16 MXU inputs, f32 accumulation, f32 gate
     math and state) must stay close to full f32 — relative mask error
@@ -71,6 +72,7 @@ def test_masks_nonnegative(cfg, params, x):
     assert np.asarray(masks).min() >= 0.0
 
 
+@pytest.mark.slow
 def test_streaming_state_changes_and_propagates(cfg, params, x):
     st0 = init_lstm_state(cfg)
     m1, st1 = umx_forward(params, jnp.asarray(x), st0, cfg)
@@ -142,6 +144,7 @@ def test_umxl_scale_parity():
     np.testing.assert_allclose(np.asarray(masks), ref, atol=5e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_vmap_matches_single_target(cfg, state_dicts, params, x):
     # the vmapped all-targets forward must equal running each target alone
     import jax

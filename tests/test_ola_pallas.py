@@ -37,6 +37,7 @@ def test_ola_matches_xla(impl):
     )
 
 
+@pytest.mark.slow
 def test_ola_single_chunk_and_no_overlap():
     # n_chunks=1 exercises the no-previous-tail path everywhere
     ys, sw, padded_len = _case(1, (2,), 512, 384, seed=1)
@@ -52,6 +53,7 @@ def test_ola_single_chunk_and_no_overlap():
     )
 
 
+@pytest.mark.slow
 def test_ola_rejects_bad_geometry():
     # overlap > 50%: head/tail split doesn't apply
     ys, sw, padded_len = _case(3, (2,), 512, 128, seed=3)
@@ -61,6 +63,7 @@ def test_ola_rejects_bad_geometry():
     assert overlap_add_normalized(ys, 1.0 / sw, 48, padded_len, interpret=True) is None
 
 
+@pytest.mark.slow
 def test_ola_batched_vmap():
     ys, sw, padded_len = _case(3, (4, 2), 512, 384, seed=4)
     B = 3

@@ -48,6 +48,7 @@ def test_dp_batch_matches_single_device(cfg, params):
         np.testing.assert_allclose(out_b[i], np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_tp4_full_target_sharding(cfg, params):
     # one target per chip pair: 2x4 mesh, target axis fully sharded
     mesh = make_mesh(dp=2, tp=4)

@@ -91,6 +91,7 @@ def test_round_trip_noise(cfg):
     np.testing.assert_allclose(x2, x, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_round_trip_non_multiple_length(cfg):
     rng = np.random.default_rng(3)
     n = cfg.hop * 50 + 123
@@ -110,6 +111,7 @@ def test_istft_matches_torch(cfg):
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_magnitude_phase_reconstruction(cfg):
     # magnitude/phase decomposition → polar_to_complex → istft round trip
     # (mirrors test_dsp.cpp:118-273)
@@ -141,6 +143,7 @@ def test_matmul_dft_matches_xla_fft(cfg):
     np.testing.assert_allclose(back, frames, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stft_impls_agree(cfg):
     import dataclasses
 
@@ -171,6 +174,7 @@ def test_overlap_add_inverts_framing(cfg):
         )
 
 
+@pytest.mark.slow
 def test_ct_dft_matches_npfft(cfg):
     # two-stage Cooley-Tukey matmul DFT: same accuracy class as the dense
     # matmul DFT, ~12x fewer MXU FLOPs
@@ -189,6 +193,7 @@ def test_ct_dft_matches_npfft(cfg):
     np.testing.assert_allclose(back, frames, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_irdft_window_folding(cfg):
     # irdft(window=w) == irdft() * w, for both dense and CT algos
     from umx_tpu.ops import fft as mxu_fft

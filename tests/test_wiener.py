@@ -98,6 +98,7 @@ def test_estimates_roughly_partition_mix(spec_data):
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_single_dominant_source_takes_mix():
     """If one source's magnitude equals |mix| and the rest are tiny, the
     filter should hand the whole mixture to that source."""
@@ -224,6 +225,7 @@ def test_planes_dispatcher_einsum_fallback(spec_data):
     np.testing.assert_allclose(np.asarray(yre) + 1j * np.asarray(yim), ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_from_masks_matches_oracle(spec_data):
     # the segment-pipeline hot path: masks in network layout, initial
     # estimate y = mask * x formed in-kernel
