@@ -13,3 +13,5 @@ run per_segment_batch16      UMX_BENCH_TRACK_SECS=0 UMX_BENCH_BATCH=16
 run quantized_hbm            UMX_BENCH_QUANTIZED=1
 run umxhq                    UMX_BENCH_HIDDEN=512
 run track_30min              UMX_BENCH_TRACK_SECS=1800
+run batch6_whole_tracks      UMX_BENCH_BATCH=6 UMX_BENCH_TRACK_SECS=420
+run track_60min_windowed     UMX_BENCH_TRACK_SECS=3600

@@ -194,3 +194,29 @@ def test_fleet_certify_quick_smoke():
     d = json.loads(line)
     assert d["metric"].startswith("xRT_") and d["value"] > 0
     assert d["tracks"] == 6
+
+
+def test_fleet_routes_beyond_window_tracks_through_windowed_path(cfg, params, tracks):
+    """A track beyond the single-program window must NOT dispatch as one
+    bucket program (the 60-min single program is a measured steady-state
+    RESOURCE_EXHAUSTED on the chip) — demix_tracks routes it through the
+    per-track windowed-fused path and the result still equals the
+    unconstrained single-program reference."""
+    import dataclasses
+
+    # window_chunks=2: the 50k-sample tracks (4 chunks at 0.5 s segments)
+    # exceed the window; the 30k tracks (2 chunks) stay bucket-batched
+    c = dataclasses.replace(
+        cfg, segment=dataclasses.replace(cfg.segment, window_chunks=2)
+    )
+    mixed = [tracks[0], tracks[2], tracks[1]]  # short, long, short
+    stats: dict = {}
+    outs = demix_tracks(params, mixed, c, stats=stats)
+    assert stats["windowed_tracks"] == 1
+    # the bucket path saw only the two short tracks
+    assert stats["rows"] == 2
+    sep = Separator(params, cfg)  # reference: unconstrained single program
+    for track, out in zip(mixed, outs):
+        assert out.shape == (4, 2, track.shape[1])
+        ref = np.asarray(sep.demix(track))
+        np.testing.assert_allclose(out, ref, atol=2e-4)

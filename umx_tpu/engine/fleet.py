@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from umx_tpu.config import EngineConfig
 from umx_tpu.engine.memory import suggest_max_fleet_batch
 from umx_tpu.engine.separator import (
+    Separator,
     _demix_fused_impl,
     _demix_fused_parallel_impl,
     _device_cfg,
@@ -111,7 +112,9 @@ def demix_tracks(
     stats: optional dict that accumulates per-dispatch phase walls —
     ``upload_s`` (host->device input transfer), ``compute_s`` (device
     program), ``download_s`` (device->host stems), ``dispatches``,
-    ``rows`` (total track rows dispatched).  Each phase is closed with a
+    ``rows`` (total track rows dispatched), ``windowed_tracks`` (tracks
+    beyond the single-program window, demixed per-track through the
+    windowed-fused path).  Each phase is closed with a
     scalar device fetch (`block_until_ready` is not a barrier on the
     axon backend), which adds one tiny round-trip per phase — leave
     stats=None on latency-critical paths.
@@ -153,11 +156,50 @@ def demix_tracks(
         params_r = params
 
     results: list[np.ndarray | None] = [None] * len(tracks)
+
+    # Tracks beyond the single-program window take the PER-TRACK path:
+    # Separator.demix_track chains W-chunk windowed-fused programs
+    # (separator._demix_windowed_impl), so a bucket never dispatches a
+    # program the HBM planner says cannot run steady-state (the
+    # 60-minute single program is a measured RESOURCE_EXHAUSTED,
+    # PERF.md).  Same seed -> same shift offsets, so the result is
+    # bit-identical to what the bucket path would have produced (the
+    # fleet == per-track equality contract, tests/test_fleet.py), and
+    # windowed == single-program is separately asserted
+    # (tests/test_windowed.py).  Mirrors Separator.demix's windowing
+    # condition: scan streaming or non-streaming only (the groups /
+    # pipelined A/B arms keep their single-program shapes).
+    long_set: set[int] = set()
+    if cfg.stream_impl == "scan" or not cfg.segment.streaming:
+        win_limit = cfg.segment.window_chunks
+        if win_limit == 0:  # auto: the planner's single-program ceiling
+            from umx_tpu.engine.memory import suggest_window_chunks
+
+            win_limit = suggest_window_chunks(cfg, params=params)
+        if win_limit > 0:
+            shift_pad = max_shift if cfg.shifts > 0 else 0
+            for i, t in enumerate(tracks):
+                n_worst = max(
+                    1, math.ceil((np.asarray(t).shape[1] + shift_pad) / stride)
+                )
+                if n_worst > win_limit:
+                    long_set.add(i)
+    if long_set:
+        sep = Separator(params, cfg)
+        for i in sorted(long_set):
+            results[i] = np.asarray(
+                sep.demix_track(np.asarray(tracks[i], np.float32), seed=seeds[i])
+            )
+            if stats is not None:
+                stats["windowed_tracks"] = stats.get("windowed_tracks", 0) + 1
+
     for p in range(n_passes):
         # host-side shift padding (the Demucs shift trick, umx.cpp:99-150),
         # then bucket by chunk count so each bucket is one compiled shape
         prepared = []
         for i, track in enumerate(tracks):
+            if i in long_set:
+                continue  # already demixed through the windowed path
             track = np.asarray(track, np.float32)
             length = track.shape[1]
             offset = track_offsets[i][p]
