@@ -18,7 +18,9 @@ from umx_tpu.io.audio import UnsupportedAudio, load_audio
 flac_writer = pytest.importorskip("flac_writer")  # tests/ is on sys.path via rootdir
 write_flac = flac_writer.write_flac
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="libumxio.so not built")
+from native_build import ensure_native_built  # tests/ is on sys.path via rootdir
+
+pytestmark = pytest.mark.skipif(not ensure_native_built(), reason="libumxio.so not built")
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 

@@ -1,27 +1,14 @@
 """Native C++ IO runtime tests: the libumxio ggml parser and WAV codec
 must agree exactly with the pure-Python implementations."""
 
-import subprocess
-
 import numpy as np
 import pytest
 
 from umx_tpu.io import native
 
+from native_build import ensure_native_built  # tests/ is on sys.path via rootdir
 
-def _built() -> bool:
-    if native.available():
-        return True
-    # try to build it (native toolchain is part of the environment)
-    try:
-        subprocess.run(["make", "-C", "native"], check=True, capture_output=True)
-    except Exception:
-        return False
-    native._load_lib.cache_clear()
-    return native.available()
-
-
-pytestmark = pytest.mark.skipif(not _built(), reason="libumxio.so not built")
+pytestmark = pytest.mark.skipif(not ensure_native_built(), reason="libumxio.so not built")
 
 
 def test_native_ggml_matches_python(tmp_path):
